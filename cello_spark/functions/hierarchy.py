@@ -1,0 +1,97 @@
+"""Hierarchy-consistency math shared by the Spark engine (inside Arrow
+batches) and the offline numpy oracle.
+
+The reference reconciles per-label probabilities with a quadratic
+program per sample: min ||x - p||^2 subject to x[parent] >= x[child]
+for every label-graph edge, solved row-at-a-time with quadprog
+(reference cello/models/isotonic_regression.py:97-135; constraint
+matrix built from label_graph.source_to_targets at :102-116).
+
+Here the same projection is computed with Dykstra's alternating
+projections onto the constraint half-spaces, vectorized across a whole
+matrix of samples at once (rows = samples). Determinism: fixed edge
+order (callers pass edges sorted), fixed iteration count (no
+data-dependent early stop), so the result for a given row is identical
+regardless of how rows are batched — a requirement for bit-stable
+output across parallelism levels (local[8] vs local[32]).
+
+numpy-only: no Spark imports (runs in executor workers and the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 200 sweeps over every constraint is far past convergence for
+# ontology-depth DAGs (diameter ~10); kept fixed for determinism.
+DYKSTRA_ITERS = 200
+
+
+def dykstra_matrix(
+    P: np.ndarray,  # (n_rows, n_labels) probabilities
+    edge_idx: np.ndarray,  # (n_edges, 2) int [parent_col, child_col]
+    n_iter: int = DYKSTRA_ITERS,
+) -> np.ndarray:
+    """Euclidean projection of every row of P onto
+    {x : x[parent] >= x[child] ∀ edges}. Exact (in the iteration limit)
+    per Dykstra's algorithm for intersections of convex sets."""
+    X = np.array(P, dtype=np.float64, copy=True)
+    n_e = 0 if edge_idx is None else len(edge_idx)
+    if n_e == 0 or X.size == 0:
+        return X
+    n_rows = X.shape[0]
+    corr_p = np.zeros((n_rows, n_e), dtype=np.float64)
+    corr_c = np.zeros((n_rows, n_e), dtype=np.float64)
+    for _ in range(n_iter):
+        for k in range(n_e):
+            pi, ci = int(edge_idx[k, 0]), int(edge_idx[k, 1])
+            xp = X[:, pi] + corr_p[:, k]
+            xc = X[:, ci] + corr_c[:, k]
+            viol = xp < xc
+            m = 0.5 * (xp + xc)
+            new_p = np.where(viol, m, xp)
+            new_c = np.where(viol, m, xc)
+            corr_p[:, k] = xp - new_p
+            corr_c[:, k] = xc - new_c
+            X[:, pi] = new_p
+            X[:, ci] = new_c
+    return X
+
+
+def sigmoid(z: np.ndarray) -> np.ndarray:
+    # numerically stable two-sided formulation
+    out = np.empty_like(z, dtype=np.float64)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def score_matrix(
+    X: np.ndarray,  # (n_rows, n_features)
+    W: np.ndarray,  # (n_labels, n_features)
+    b: np.ndarray,  # (n_labels,)
+    trivial: np.ndarray,  # (n_labels,) bool
+) -> np.ndarray:
+    """sigmoid(X W^T + b); trivial labels (no negative training
+    examples) get constant 1.0 — reference
+    ensemble_binary_classifiers.py:122-128, :180-182."""
+    P = sigmoid(X @ W.T + b)
+    if trivial.any():
+        P[:, trivial] = 1.0
+    return P
+
+
+def label_edge_index(
+    labels_sorted: list[str], label_edges: list[tuple[str, str]]
+) -> np.ndarray:
+    """(child,parent) string edges → (n_edges,2) int [parent_idx,
+    child_idx] over the sorted label vocabulary, deterministic order."""
+    pos = {l: i for i, l in enumerate(labels_sorted)}
+    rows = [
+        (pos[p], pos[c])
+        for c, p in sorted(set(label_edges))
+        if c in pos and p in pos
+    ]
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 2)

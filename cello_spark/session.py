@@ -1,0 +1,106 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the configs are chosen so the same
+code runs unchanged on a multi-executor cluster (AQE, adaptive skew
+join, Arrow batching). Parallelism and shuffle partitioning are
+parameterized so the bench can run the identical job at local[8] and
+local[32] to evidence scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: bounds executor-Python memory for the matmul /
+# reconciliation UDFs. 10k rows x (n_features=64 doubles + spans)
+# stays well under 100 MB per batch.
+ARROW_MAX_RECORDS = 10_000
+
+
+def get_spark(
+    app_name: str = "cello_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a
+    real cluster the master/executor settings come from spark-submit
+    and the ``local[...]`` master here is simply not used.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # ~1x cores locally; on a cluster this would be tuned to
+        # ~2-3x total executor cores (or left to AQE coalescing).
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # deterministic float semantics for oracle comparison
+        .config("spark.sql.legacy.allowUntypedScalaUDF", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `cello_spark` importable inside executor Python workers —
+    the spark-submit --py-files pattern, done programmatically so any
+    driver script (even one launched outside the repo) works. Zips the
+    package once per session and addPyFile()s it; harmless no-op when
+    already shipped."""
+    sc = spark.sparkContext
+    if sc._jsc is None:  # stopped session
+        return
+    marker = "_cello_spark_shipped"
+    if getattr(sc, marker, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"cello_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "cello_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    setattr(sc, marker, True)
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

