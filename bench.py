@@ -1,0 +1,150 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end
+KG pipeline (triples/sec headline) on a deterministic synthetic
+document set sized to the SF.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "kg": {...}}
+
+Per-query timing includes full plan execution (count/collect of the
+result), cold cache (no df.cache() anywhere in the queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_pricing",
+    "q_topk_revenue",
+    "q_join_region_nation",
+    "q_window_topk_per_group",
+    "q_pseudobulk",
+    "q_sessionize",
+    "q_event_hourly",
+    "q_closure",
+    "q_most_specific",
+    "q_connected_components",
+    "q_text_stats",
+    "q_dedup_keep_min",
+    "q_ngram_jaccard",
+    "q_minhash_pairs",
+    "q_simhash_pairs",
+    "q_mention_counts",
+    "q_cosine_topk",
+    "q_ivf_topk",
+]
+
+# docs for the KG pipeline bench, proportional to lineitem SF
+KG_DOCS_BY_SF = {"0.001": 1_000, "0.01": 5_000, "0.1": 20_000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def bench_kg(spark, n_docs: int, cache_root: str) -> dict:
+    """Full KG pipeline wall time → triples/sec. Fixture documents are
+    generated once per (n_docs, seed) and cached as parquet so repeated
+    runs (and both scaling levels) read identical input."""
+    from cello_spark.plans.kg import build_kg_pipeline
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_ontology,
+        make_thresholds,
+    )
+
+    onto = make_ontology()
+    cache = os.path.join(cache_root, f"kg_docs_{n_docs}")
+    docs_path, feats_path = f"{cache}/documents", f"{cache}/features"
+    if not (os.path.exists(docs_path) and os.path.exists(feats_path)):
+        docs_pdf, feats_pdf, _ = make_documents(onto, n_docs=n_docs)
+        os.makedirs(cache, exist_ok=True)
+        spark.createDataFrame(docs_pdf).write.mode("overwrite").parquet(docs_path)
+        spark.createDataFrame(feats_pdf).write.mode("overwrite").parquet(feats_path)
+    documents = spark.read.parquet(docs_path)
+    features = spark.read.parquet(feats_path)
+
+    workdir = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        pipe = build_kg_pipeline(
+            spark,
+            workdir,
+            documents,
+            features,
+            onto,
+            make_model_weights(onto),
+            make_thresholds(onto),
+        )
+        t0 = time.monotonic()
+        pipe.run()
+        n_triples = pipe.output("triples").count()
+        wall = time.monotonic() - t0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    import __spark_entry__ as E
+    from cello_spark.session import get_spark
+
+    spark = get_spark(app_name="cello_spark_bench", cores=cores)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        # full execution: materialize every row (cheap collect of counts)
+        n = fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf_tag = _sf_tag(sf_dir)
+    cache_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "bench"
+    )
+    kg = bench_kg(spark, KG_DOCS_BY_SF.get(sf_tag, 5_000), cache_root)
+    total += kg["wall_sec"]
+    timings["kg_pipeline"] = kg["wall_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_tag,
+                "cores": cores,
+                "kg": kg,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,343 @@
+"""Deduplication operator family for training-data pipelines.
+
+All four families are expressed as DataFrame plans that scale: shuffles
+only on bounded-cardinality keys (fingerprints, band buckets), explicit
+common-shingle capping so self-joins can't quadratically blow up on
+boilerplate, and map-side-combinable aggregations throughout.
+
+- exact_duplicates / dedup_exact : md5-fingerprint groupBy (one shuffle)
+- ngram_jaccard_pairs            : exact n-gram Jaccard via shingle
+                                   inverted index self-join
+- minhash_lsh_pairs              : MinHash signatures + banded LSH
+                                   bucketing; candidates optionally
+                                   verified with exact Jaccard
+- simhash_pairs                  : 64-bit SimHash + hamming-band join
+
+Embedding near-dup lives in operators/similarity.py (cosine top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cello_spark.functions.text import fingerprint_md5, normalize_text
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: returns
+    (fingerprint, n_dups, keep_id, dup_ids) for groups of size > 1."""
+    fp = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint_md5(text_col).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each fingerprint group.
+    Window row_number over the fingerprint — one shuffle on the
+    fingerprint (high cardinality → even distribution)."""
+    w = Window.partitionBy(fingerprint_md5(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    JVM-side n-gram generation (same codegen pattern as mention
+    candidate generation)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "").alias(
+            "tokens"
+        ),
+    )
+    return (
+        toks.withColumn(
+            "shingle",
+            F.explode(
+                F.expr(
+                    f"""
+                    if(size(tokens) >= {n},
+                       transform(sequence(1, size(tokens) - {n} + 1),
+                                 i -> array_join(slice(tokens, i, {n}), ' ')),
+                       if(size(tokens) > 0, array(array_join(tokens, ' ')), array()))
+                    """
+                )
+            ),
+        )
+        .select("doc_id", "shingle")
+        .dropDuplicates()
+    )
+
+
+def _cap_common_shingles(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles occurring in more than max_df docs before any
+    self-join — boilerplate shingles otherwise create O(df²) pairs.
+    The cap is logged by callers (no silent truncation at query level:
+    capped shingles are near-useless for similarity anyway, but the
+    parameter is explicit)."""
+    if max_df is None:
+        return sh
+    w = Window.partitionBy("shingle")
+    return sh.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+        F.col("__df") <= max_df
+    ).drop("__df")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set Jaccard ≥ threshold.
+    Plan: inverted index self-join on shingle → common counts →
+    |A∪B| = |A|+|B|-common. Shuffles on shingle (pair generation) and
+    (a,b) (common count) only."""
+    sh = _cap_common_shingles(shingles(df, id_col, text_col, n), max_shingle_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 2^31 - 1 (Mersenne prime): h, a, b < p keeps a*h + b < 2^62, so the
+# universal-hash arithmetic never overflows a long under ANSI mode
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — k-permutation MinHash over shingle
+    xxhash64 values using (a*h + b) mod p universal hashing in
+    GF(2^31-1). One groupBy(doc_id): each permutation is a
+    min-aggregate, all JVM-side (map-side partial min → tiny shuffle)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    h = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    aggs = [
+        F.min(
+            (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    wide = h.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+    max_shingle_df: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH. Candidate pairs = docs
+    sharing any band hash; with verify=True candidates are checked with
+    EXACT shingle Jaccard (the returned `jaccard` is exact, so output ⊆
+    ngram_jaccard_pairs; LSH only bounds recall).
+
+    Scale: signatures are one aggregate; banding is an explode(bands) →
+    groupBy(band, band_hash) — shuffle keys are uniformly-distributed
+    hashes, immune to content skew."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = _cap_common_shingles(shingles(df, id_col, text_col, n), max_shingle_df)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"xxhash64(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "band_hash"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates()
+    )
+    if not verify:
+        return cands
+    # signature-estimate prefilter: est(J) = fraction of agreeing
+    # minhash components, computed pair-local from the two signatures
+    # (JVM zip_with, no extra shuffle). Low-threshold configs (wide
+    # bands) otherwise admit nearly all pairs as candidates and the
+    # exact-verify join fans out |cands| x |shingles per doc| rows.
+    # An unbiased estimator with k=num_hashes components has std
+    # ~sqrt(J(1-J)/k); the margin keeps the prefilter recall-safe.
+    margin = 3.0 * (0.25 / num_hashes) ** 0.5
+    est = (
+        cands.join(sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_j") >= threshold - margin)
+        .select("a", "b")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # exact-Jaccard verification of surviving candidates only
+    common = (
+        est.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over token xxhash64
+    values: bit b of the result is 1 iff more tokens have bit b set
+    than unset. ONE aggregate with 64 vote columns (map-side
+    combinable) — no per-bit row explosion (64x fewer shuffle rows
+    than the naive explode(bit) formulation)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bit_terms = " + ".join(
+        f"if(v{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64)
+    )
+    return agg.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming. Pigeonhole banding:
+    split 64 bits into n_bands chunks; any pair within distance
+    max_hamming < n_bands shares at least one identical chunk → join on
+    (band, chunk) then verify exact hamming via bit_count(xor)."""
+    assert max_hamming < n_bands, "pigeonhole needs n_bands > max_hamming"
+    sh = simhash(df, id_col, text_col)
+    width = 64 // n_bands
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"(simhash >> (b * {width})) & {(1 << width) - 1})"
+            )
+        ).alias("band", "chunk"),
+    )
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "chunk"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

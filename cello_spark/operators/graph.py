@@ -23,10 +23,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _dedup_checkpoint(df: DataFrame) -> DataFrame:
+def _fresh(df: DataFrame) -> DataFrame:
+    # re-alias every column: Alias mints new expression ids, so two
+    # checkpointed branches of the same base never share attr ids
+    # (sharing them trips AQE's attribute map when the branches are
+    # unioned and re-checkpointed: "key not found: <attr>")
+    return df.select([F.col(c).alias(c) for c in df.columns])
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
     # localCheckpoint keeps the iteration's lineage from growing into
     # an exponentially deep plan; eager=True materializes now.
-    return df.dropDuplicates().localCheckpoint(eager=True)
+    return _fresh(df.localCheckpoint(eager=True))
+
+
+def _dedup_checkpoint(df: DataFrame) -> DataFrame:
+    return _checkpoint(df.dropDuplicates())
 
 
 def transitive_closure(
@@ -47,7 +59,7 @@ def transitive_closure(
     base = base.select(
         F.col("src").alias("descendant"), F.col("dst").alias("ancestor")
     ).dropDuplicates()
-    base = base.localCheckpoint(eager=True)
+    base = _checkpoint(base)
 
     closure = base
     frontier = base
@@ -70,10 +82,72 @@ def transitive_closure(
     return closure.filter(F.col("descendant") != F.col("ancestor"))
 
 
+def transitive_closure_auto(
+    edges: DataFrame,
+    rels: tuple[str, ...] | None = ("is_a",),
+    driver_side_max_edges: int = 200_000,
+) -> DataFrame:
+    """Closure with a size-based cutover: ontology-scale graphs (the
+    KG pipeline's case — CL has ~6.6k terms) are BFS'd on the driver
+    and shipped back as one DataFrame (zero shuffle, zero iteration
+    jobs); larger graphs fall back to the iterative self-join
+    operator. The scale burden in this pipeline is on the document
+    side, never the ontology side (SURVEY §7.4)."""
+    base = edges
+    if rels is not None:
+        base = base.filter(F.col("rel").isin(list(rels)))
+    base = base.select("src", "dst").dropDuplicates()
+    n = base.limit(driver_side_max_edges + 1).count()
+    if n > driver_side_max_edges:
+        return transitive_closure(edges, rels=rels)
+    pairs = [(r.src, r.dst) for r in base.collect()]
+    parents: dict[str, set[str]] = {}
+    for c, p in pairs:
+        parents.setdefault(c, set()).add(p)
+    out: list[tuple[str, str]] = []
+    for node in parents:
+        seen: set[str] = set()
+        frontier = set(parents[node])
+        while frontier:
+            seen |= frontier
+            frontier = {g for f in frontier for g in parents.get(f, ())} - seen
+        out.extend((node, a) for a in seen if a != node)
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, "descendant string, ancestor string")
+
+
+def connected_components_auto(
+    pairs: DataFrame, driver_side_max_edges: int = 200_000
+) -> DataFrame:
+    """Connected components with the same size cutover: union-find on
+    the driver for dictionary-scale alias graphs, iterative min-id
+    propagation otherwise."""
+    p = pairs.select("a", "b").dropDuplicates()
+    n = p.limit(driver_side_max_edges + 1).count()
+    if n > driver_side_max_edges:
+        return connected_components(pairs)
+    rows = [(r.a, r.b) for r in p.collect()]
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(node, find(node)) for node in parent]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(out, "node string, component string")
+
+
 def k_hop_neighborhood(edges: DataFrame, roots: DataFrame, k: int) -> DataFrame:
     """Nodes within k hops (child->parent direction) of `roots(node)`.
     Reference: radius-bounded BFS (general_ontology_tools.py:102-132)."""
-    visited = roots.select("node").dropDuplicates().localCheckpoint(eager=True)
+    visited = _checkpoint(roots.select("node").dropDuplicates())
     frontier = visited
     e = edges.select(F.col("src").alias("node"), F.col("dst").alias("nxt"))
     for _ in range(k):
@@ -176,18 +250,18 @@ def topological_layers(edges: DataFrame, max_iter: int = 256) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
+    nodes = _checkpoint(nodes)
     # child depends on parent: node is ready when all its parents peeled
     deps = edges.select(F.col("src").alias("node"), F.col("dst").alias("dep"))
     remaining = nodes
-    remaining_deps = deps.localCheckpoint(eager=True)
+    remaining_deps = _checkpoint(deps)
     out: DataFrame | None = None
     for layer in range(max_iter):
         ready = remaining.join(
             remaining_deps.select("node").dropDuplicates(), "node", "left_anti"
         ).withColumn("layer", F.lit(layer))
-        ready = ready.localCheckpoint(eager=True)
+        ready = _checkpoint(ready)
         if ready.isEmpty():
             break
         out = ready if out is None else out.unionByName(ready)
@@ -216,8 +290,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
+    sym = _checkpoint(sym)
     # label(node) = min(node, min neighbor label); iterate to fixpoint
     labels = (
         sym.groupBy("x")

@@ -81,13 +81,57 @@ def candidate_ngrams(spans: DataFrame, max_n: int = MAX_ALIAS_TOKENS) -> DataFra
 def detect_mentions(
     documents: DataFrame,
     alias_dict: DataFrame,  # (alias_norm, term_id) — small, broadcast
-    max_n: int = MAX_ALIAS_TOKENS,
+    max_n: int | None = None,
 ) -> DataFrame:
     """Dictionary mention detection. Returns
     (doc_id, span_idx, offset, alias_norm, term_id), distinct per
-    (doc span, term). Broadcast hash join — document side never
-    shuffles."""
-    cands = candidate_ngrams(text_spans(documents), max_n=max_n)
+    (doc span, term). Two broadcast hash joins — the document side
+    never shuffles:
+
+      1. FIRST-TOKEN GATE: explode tokens with position, broadcast-join
+         against the dictionary's distinct first tokens. Only surviving
+         positions build n-grams — this prunes the candidate space by
+         the fraction of corpus tokens that can start an alias (the
+         dominant cost at scale is n-gram string construction, so the
+         gate is worth ~an order of magnitude on real text).
+      2. n-grams at surviving positions (lengths 1..max alias length,
+         derived from the dictionary) joined against the full alias
+         dictionary.
+    """
+    aliases = alias_dict.select("alias_norm", "term_id").collect()
+    spark = documents.sparkSession
+    if not aliases:
+        return spark.createDataFrame(
+            [],
+            "doc_id string, span_idx int, offset int, alias_norm string, term_id string",
+        )
+    if max_n is None:
+        max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
+    first_tokens = sorted({a.alias_norm.split(" ", 1)[0] for a in aliases})
+    # gate as an inline literal-array membership test — stays inside
+    # one whole-stage-codegen'd expression, no token explode, no array
+    # copying per token. (For dictionaries with >> 10^3 distinct first
+    # tokens, switch to the explode+broadcast-join form.)
+    ft_lit = ", ".join("'" + t.replace("'", "\\'") + "'" for t in first_tokens)
+    ngram_expr = f"""
+        flatten(transform(tokens, (tok, pos) ->
+          if(array_contains(array({ft_lit}), tok),
+             transform(sequence(1, least({max_n}, size(tokens) - pos)),
+                       n -> array_join(slice(tokens, pos + 1, n), ' ')),
+             array())))
+    """
+    toks = text_spans(documents).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.filter(F.split(F.expr(_NORM), " +"), lambda t: t != "").alias("tokens"),
+    )
+    cands = toks.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.explode(F.expr(ngram_expr)).alias("ngram"),
+    )
     return (
         cands.join(
             F.broadcast(alias_dict),

@@ -1,0 +1,208 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque `binary` columns with typed metadata structs;
+all per-item compute is Arrow-batched (`mapInPandas`), partitioned by
+doc so media for one document co-locate. The actual codec work (PIL /
+ffmpeg / torchaudio) is NOT available in this container, so the decode
+kernel is stubbed behind `decoder=` — `fake_decoder` (deterministic,
+hash-seeded) keeps the full Spark plumbing (schema, batching,
+partitioning, UDF signatures) real and testable; passing a real
+decoder is the only change needed in production.
+
+Operators:
+- media_table_schema / attach_media : typed media rows from documents
+- decode_media                      : binary → (width, height, channels,
+                                      pixels summary) via pluggable decoder
+- extract_features                  : decoded media → fixed-size float
+                                      feature vector (mean/std/moments)
+- sample_frames                     : video-kind rows → one row per
+                                      sampled frame index (uniform step)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),  # opaque payload
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("duration_ms", T.LongType()),  # audio/video
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
+def real_decoder(content: bytes, kind: str) -> np.ndarray:
+    """Production decode hook (PIL/ffmpeg). Not available in this
+    container — deliberately unimplemented."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "pass decoder=fake_decoder or a real PIL/ffmpeg-backed decoder"
+    )
+
+
+def fake_decoder(content: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in decode: payload hash seeds a small
+    pseudo-image (H, W, C) uint8 array. Keeps every downstream shape/
+    dtype contract identical to a real decoder."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    h, w = 16 + seed % 17, 16 + (seed >> 8) % 17
+    c = 3 if kind == "image" else 1
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def attach_media(documents: DataFrame, payload_bytes: int = 64) -> DataFrame:
+    """Materialize a typed media table from documents' media spans.
+    (In production media bytes come from object storage via a
+    binaryFile-style source; here the payload is a deterministic
+    function of the media_ref so tests are hermetic.)"""
+    spans = documents.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind").isin("image", "table", "video", "audio"))
+    return spans.select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.when(F.col("s.kind") == "table", "image")
+        .otherwise(F.col("s.kind"))
+        .alias("kind"),
+        F.encode(
+            F.repeat(F.sha2(F.col("s.media_ref"), 256), max(payload_bytes // 64, 1)),
+            "utf-8",
+        ).alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(payload_bytes).cast("long").alias("n_bytes"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, decoder: Decoder = real_decoder) -> DataFrame:
+    """binary → decoded summary row per media item. Arrow batches;
+    repartitioned by doc_id so one doc's media decode together."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decoder(bytes(r.content), r.kind)
+                rows.append(
+                    (
+                        r.doc_id,
+                        r.media_ref,
+                        r.kind,
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(arr.shape[2]) if arr.ndim == 3 else 1,
+                        float(arr.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_ref",
+                    "kind",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_intensity",
+                ],
+            )
+
+    return (
+        media.repartition("doc_id")
+        .select("doc_id", "media_ref", "kind", "content")
+        .mapInPandas(run, DECODED_SCHEMA)
+    )
+
+
+def extract_features(
+    media: DataFrame, decoder: Decoder = real_decoder, dim: int = 8
+) -> DataFrame:
+    """Decoded media → fixed-size feature vector (intensity moments +
+    shape stats). The production swap-in is a vision model over the
+    same mapInPandas contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decoder(bytes(r.content), r.kind).astype(np.float64)
+                flat = arr.reshape(-1)
+                feats = [
+                    flat.mean(),
+                    flat.std(),
+                    float(np.median(flat)),
+                    flat.min(),
+                    flat.max(),
+                    float(arr.shape[0]),
+                    float(arr.shape[1]),
+                    float(arr.shape[2]) if arr.ndim == 3 else 1.0,
+                ][:dim]
+                rows.append((r.doc_id, r.media_ref, feats))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ref", "features"])
+
+    return (
+        media.repartition("doc_id")
+        .select("doc_id", "media_ref", "kind", "content")
+        .mapInPandas(run, FEATURES_SCHEMA)
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video rows → one row per sampled frame timestamp (uniform grid
+    over meta.duration_ms). Pure JVM (sequence + explode); the decode
+    of each frame then flows through decode_media."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "doc_id",
+        "media_ref",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0).cast("long")),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )

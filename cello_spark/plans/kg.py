@@ -1,8 +1,8 @@
 """End-to-end KG-construction pipeline wiring.
 
 Stages (SURVEY §7.1):
-  1. ontology       — terms+edges (patched, inverse edges, obsolete
-                      filter) → normalized edge table
+  1. ontology       — patched edge table (+ inverse edges, obsolete
+                      filter)
   2. closure        — (descendant, ancestor) transitive closure (is_a)
   3. onto_triples   — (child, rel, parent) schema-layer triples
   4. mentions       — dictionary mention detection over document spans
@@ -10,7 +10,19 @@ Stages (SURVEY §7.1):
                       mapInPandas pass)
   6. canonical_map  — alias/xref connected components → canonical ids
   7. triples        — ontology ∪ typing triples, subjects/objects
-                      rewritten to canonical ids, bucketed write
+                      rewritten to canonical ids
+
+Scale split (SURVEY §7.4): the ontology side is ≤ ~10^4 terms — a
+driver-resident dataset. Stages 1-3 and 6 therefore compute in plain
+python/pandas on the driver and ship their (tiny) results into Spark
+once, as broadcast-side DataFrames; every Spark job in the pipeline
+belongs to the document-scale stages (4, 5, 7), which shuffle only
+where semantically required. The distributed equivalents of the
+ontology-side algorithms (iterative transitive closure, min-id
+connected components, anti-join most-specific) live in
+operators/graph.py — pytest-verified against the same oracle and
+exposed through __spark_entry__ queries — and kick in automatically
+via the *_auto variants when a graph exceeds the driver cutover.
 
 Inputs arrive via the ctx dict (documents/features as DataFrames,
 ontology bundle driver-side) so the same wiring runs on fixtures in
@@ -23,38 +35,108 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cello_spark.operators.graph import connected_components, transitive_closure
+from cello_spark import oracle
 from cello_spark.operators.linking import LinkingModel, link_documents, typing_triples
 from cello_spark.operators.mentions import detect_mentions
 from cello_spark.plans.pipeline import Pipeline
 from cello_spark.sources.fixtures import Ontology, term_id, QUALIFIER_SUFFIXES
-from cello_spark.sources.ontology import (
-    alias_dictionary,
-    apply_patch,
-    filter_obsolete,
-    ontology_triples,
-    with_inverse_edges,
-)
+from cello_spark.sources.ontology import INVERTIBLE_RELS
 
 TERM_PREFIX = "CS:"
 
 
-def canonical_mapping(components: DataFrame, term_prefix: str = TERM_PREFIX) -> DataFrame:
-    """(node, canonical): per component, canonical = min member whose id
-    has the ontology prefix; fallback = min member. Deterministic."""
-    ranked = components.groupBy("component").agg(
-        F.min(F.when(F.col("node").startswith(term_prefix), F.col("node"))).alias(
-            "canon_term"
-        ),
-        F.min("node").alias("canon_any"),
+# ---------------------------------------------------------------------------
+# driver-side ontology prep (tiny data — no Spark jobs)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def prepare_ontology(onto: Ontology, term_prefix: str = TERM_PREFIX) -> dict[str, pd.DataFrame]:
+    """Pandas equivalents of the ontology ingest transforms (obsolete
+    filter, patch union, inverse-edge synthesis — reference
+    the_ontology.py:106-148, ontology_graph.py:344-387/585-593), the
+    is_a closure, the alias dictionary, and the canonicalization
+    components. All O(|ontology|)."""
+    live = onto.terms[~onto.terms.is_obsolete]
+    live_ids = set(live.term_id)
+    edges = onto.edges[
+        onto.edges.src.isin(live_ids) & onto.edges.dst.isin(live_ids)
+    ]
+    patched = pd.concat([edges, onto.patch_edges]).drop_duplicates()
+    inv = patched[patched.rel.isin(INVERTIBLE_RELS)].rename(
+        columns={"src": "dst", "dst": "src"}
+    )[["src", "dst", "rel"]].assign(rel=lambda d: "inv_" + d.rel)
+    full_edges = pd.concat([patched, inv]).drop_duplicates().reset_index(drop=True)
+
+    isa_pairs = [
+        (r.src, r.dst) for r in patched.itertuples(index=False) if r.rel == "is_a"
+    ]
+    closure = pd.DataFrame(
+        sorted(oracle.closure_pairs(isa_pairs)), columns=["descendant", "ancestor"]
     )
-    return (
-        components.join(ranked, "component")
-        .select(
-            "node",
-            F.coalesce("canon_term", "canon_any").alias("canonical"),
-        )
+
+    onto_triples = (
+        patched.rename(columns={"src": "subj", "rel": "pred", "dst": "obj"})[
+            ["subj", "pred", "obj"]
+        ]
+        .drop_duplicates()
+        .reset_index(drop=True)
     )
+
+    # alias dictionary: normalized names + synonyms → term_id
+    alias_rows = []
+    for t in live.itertuples(index=False):
+        if t.name:
+            alias_rows.append((_normalize(t.name), t.term_id))
+        for syn in t.synonyms:
+            if syn["syn_str"]:
+                alias_rows.append((_normalize(syn["syn_str"]), t.term_id))
+    alias_dict = pd.DataFrame(
+        sorted(set(alias_rows)), columns=["alias_norm", "term_id"]
+    )
+
+    # canonicalization: components over term ↔ alias/xref strings;
+    # canonical = min member with the ontology prefix, else min member
+    pairs = [(r.term_id, r.alias_norm) for r in alias_dict.itertuples(index=False)]
+    for t in live.itertuples(index=False):
+        for x in t.xrefs:
+            pairs.append((t.term_id, x))
+    comp = oracle.connected_components(pairs)
+    members: dict[str, list[str]] = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    canon_rows = []
+    for c, nodes in members.items():
+        terms = sorted(n for n in nodes if n.startswith(term_prefix))
+        canonical = terms[0] if terms else min(nodes)
+        canon_rows.extend((n, canonical) for n in nodes)
+    canonical_map = pd.DataFrame(
+        sorted(canon_rows), columns=["node", "canonical"]
+    )
+    return {
+        "edges": full_edges,
+        "closure": closure,
+        "onto_triples": onto_triples,
+        "alias_dict": alias_dict,
+        "canonical_map": canonical_map,
+    }
+
+
+def _ensure_parallelism(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> DataFrame:
+    """Small/under-split sources (a handful of tiny parquet files get
+    coalesced into ~1 scan partition by maxPartitionBytes) would make
+    the whole document side serial. Hash-repartition by doc key to
+    2x task slots when the scan has fewer splits than slots — on a
+    real 100 TB table the file splits already provide this and the
+    repartition is skipped. Keying by doc_id also co-partitions the
+    later features ⋈ mentions semi-join."""
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= slots:
+        return df
+    return df.repartition(2 * slots, key)
 
 
 def build_kg_pipeline(
@@ -67,15 +149,16 @@ def build_kg_pipeline(
     thresholds_pdf: pd.DataFrame,
     n_buckets: int = 32,
 ) -> Pipeline:
-    terms_df = spark.createDataFrame(onto.terms)
-    edges_df = spark.createDataFrame(onto.edges)
-    patch_df = spark.createDataFrame(onto.patch_edges)
+    documents = _ensure_parallelism(documents, spark)
+    features = _ensure_parallelism(features, spark)
+    prep = prepare_ontology(onto)
+    label_set = set(onto.labels)
     label_edges = [
         (c, p)
         for c, p, r in pd.concat([onto.edges, onto.patch_edges])[
             ["src", "dst", "rel"]
         ].itertuples(index=False)
-        if r == "is_a" and c in set(onto.labels) and p in set(onto.labels)
+        if r == "is_a" and c in label_set and p in label_set
     ]
     qualifiers = {term_id(s) for s in QUALIFIER_SUFFIXES}
     model = LinkingModel.from_tables(
@@ -84,20 +167,25 @@ def build_kg_pipeline(
 
     pipe = Pipeline(spark, workdir)
 
+    # --- ontology-side stages: driver-computed, shipped once ---------
+
     def stage_ontology(ctx: dict) -> DataFrame:
-        live_terms, live_edges = filter_obsolete(terms_df, edges_df)
-        patched = apply_patch(live_edges, patch_df)
-        return with_inverse_edges(patched)
+        return spark.createDataFrame(prep["edges"]).coalesce(1)
 
     def stage_closure(ctx: dict) -> DataFrame:
-        return transitive_closure(ctx["ontology"], rels=("is_a",))
+        return spark.createDataFrame(prep["closure"]).coalesce(1)
 
     def stage_onto_triples(ctx: dict) -> DataFrame:
-        return ontology_triples(ctx["ontology"])
+        return spark.createDataFrame(prep["onto_triples"]).coalesce(1)
+
+    def stage_canonical_map(ctx: dict) -> DataFrame:
+        return spark.createDataFrame(prep["canonical_map"]).coalesce(1)
+
+    # --- document-side stages: distributed ---------------------------
 
     def stage_mentions(ctx: dict) -> DataFrame:
-        live_terms, _ = filter_obsolete(terms_df, edges_df)
-        return detect_mentions(documents, alias_dictionary(live_terms))
+        alias_df = spark.createDataFrame(prep["alias_dict"])
+        return detect_mentions(documents, alias_df)
 
     def stage_linked(ctx: dict) -> DataFrame:
         # mention gate: only docs that mention at least one ontology
@@ -105,21 +193,6 @@ def build_kg_pipeline(
         mentioned = ctx["mentions"].select("doc_id").dropDuplicates()
         gated = features.join(mentioned, "doc_id", "left_semi")
         return link_documents(gated, model)
-
-    def stage_canonical_map(ctx: dict) -> DataFrame:
-        live_terms, _ = filter_obsolete(terms_df, edges_df)
-        # alias graph: term_id ↔ name/synonym/xref strings
-        pairs = (
-            alias_dictionary(live_terms)
-            .select(F.col("term_id").alias("a"), F.col("alias_norm").alias("b"))
-            .unionByName(
-                live_terms.select(
-                    F.col("term_id").alias("a"), F.explode("xrefs").alias("b")
-                )
-            )
-        )
-        comps = connected_components(pairs)
-        return canonical_mapping(comps)
 
     def stage_triples(ctx: dict) -> DataFrame:
         raw = ctx["onto_triples"].unionByName(typing_triples(ctx["linked"]))
@@ -153,3 +226,19 @@ def build_kg_pipeline(
         .add_stage("triples", stage_triples)
     )
     return pipe
+
+
+def canonical_mapping(components: DataFrame, term_prefix: str = TERM_PREFIX) -> DataFrame:
+    """Distributed variant of the canonical-id rule (used when the
+    alias graph exceeds driver scale): per component, canonical = min
+    member with the ontology prefix, else min member."""
+    ranked = components.groupBy("component").agg(
+        F.min(F.when(F.col("node").startswith(term_prefix), F.col("node"))).alias(
+            "canon_term"
+        ),
+        F.min("node").alias("canon_any"),
+    )
+    return components.join(ranked, "component").select(
+        "node",
+        F.coalesce("canon_term", "canon_any").alias("canonical"),
+    )

@@ -115,7 +115,14 @@ class Pipeline:
                 .withColumn("stage", F.lit(name))
             )
             lineage.write.mode("overwrite").parquet(os.path.join(sdir, "_lineage"))
-            rows = out.count()
+            # row count derived from the lineage aggregate — one scan
+            # serves both metrics (no separate count() action)
+            rows = (
+                self.spark.read.parquet(os.path.join(sdir, "_lineage"))
+                .agg(F.sum("rows"))
+                .collect()[0][0]
+                or 0
+            )
             wall = time.monotonic() - t0
             ctx[name] = out.drop("__pid")
             manifest["stages"][name] = {

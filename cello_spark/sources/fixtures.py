@@ -231,6 +231,7 @@ def make_documents(
     onto: Ontology,
     n_docs: int = 200,
     seed: int = SEED,
+    id_offset: int = 0,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Returns (documents, doc_features, doc_truth).
 
@@ -258,8 +259,8 @@ def make_documents(
     protos = _prototypes(onto.labels, seed)
 
     doc_rows, feat_rows, truth_rows = [], [], []
-    for i in range(n_docs):
-        doc_id = f"doc_{i:06d}"
+    for i in range(id_offset, id_offset + n_docs):
+        doc_id = f"doc_{i:08d}"
         true_label = leaves[int(rng.integers(len(leaves)))]
         lineage = [true_label] + ancestors_of[true_label]
         n_spans = int(rng.integers(3, 9))

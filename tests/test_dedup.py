@@ -1,0 +1,131 @@
+"""Dedup family tests: exact, n-gram Jaccard, MinHash-LSH, SimHash —
+verified against brute-force python oracles on small corpora."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cello_spark.operators import dedup as D
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "a completely different document about spark engines"),
+    (5, "A  Completely   different document about spark engines"),  # ws/case dup of 4
+    (6, "the quick brown fox jumps over the lazy dog today"),  # near dup of 1
+    (7, "knowledge graphs need entity linking and canonicalization"),
+]
+
+
+def _jaccard_oracle(n=3, threshold=0.0):
+    def sh(text):
+        toks = " ".join(text.lower().split()).split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(CORPUS, 2):
+        a, b = sh(ta), sh(tb)
+        if not a or not b:
+            continue
+        j = len(a & b) / len(a | b)
+        if j >= threshold:
+            out[(min(ia, ib), max(ia, ib))] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    got = {tuple(g.dup_ids) for g in groups}
+    assert got == {(1, 2), (4, 5)}  # normalization folds case/whitespace
+    kept = D.dedup_exact(docs)
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 6, 7}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, n=3).collect()
+    }
+    want = {k: v for k, v in _jaccard_oracle(3, 0.0).items() if v >= 0.3}
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_minhash_lsh_verified_subset_of_exact(spark, docs):
+    """With exact verification on, LSH output values are exact Jaccard
+    and every returned pair is a true ≥-threshold pair."""
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, n=3, num_hashes=64, bands=32
+        ).collect()
+    }
+    truth = {k: v for k, v in _jaccard_oracle(3, 0.0).items() if v >= 0.5}
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert abs(v - truth[k]) < 1e-9
+    # with 32 bands of 2 rows, P(miss) for J≥0.8 is ~(1-0.64)^32 ≈ 1e-14:
+    # the exact-dup pair and strong near-dups must be found
+    assert (1, 2) in got and (4, 5) in got
+
+
+def test_minhash_candidates_without_verify(spark, docs):
+    cands = {
+        (r.a, r.b)
+        for r in D.minhash_lsh_pairs(
+            docs, n=3, num_hashes=64, bands=32, verify=False
+        ).collect()
+    }
+    assert (1, 2) in cands  # identical docs always collide in every band
+
+
+def test_simhash_identical_and_banding(spark, docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    assert sh[4] == sh[5]  # normalization folds case/whitespace
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in D.simhash_pairs(docs, max_hamming=12, n_bands=16).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((4, 5)) == 0
+    # near-dups land at small hamming distance
+    assert (1, 3) in pairs or (1, 6) in pairs
+
+
+def test_simhash_pairs_complete_under_pigeonhole(spark, docs):
+    """Banding must not miss any pair within max_hamming: compare
+    against the all-pairs oracle computed from simhash values."""
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    max_h = 7
+    want = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= max_h:
+            want.add((a, b))
+    got = {
+        (r.a, r.b)
+        for r in D.simhash_pairs(docs, max_hamming=max_h, n_bands=8).collect()
+    }
+    assert got == want
+
+
+def test_dedup_on_testdata_documents(spark):
+    """Smoke on the driver-provided TPC-H-ish documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = D.dedup_exact(docs)
+    assert kept.count() <= docs.count()
+    groups = D.exact_duplicates(docs)
+    # exact_duplicates and dedup_exact must agree on the removal count
+    removed = docs.count() - kept.count()
+    agg = groups.agg(F.sum(F.col("n_dups") - 1).alias("r")).collect()[0].r
+    assert (agg or 0) == removed

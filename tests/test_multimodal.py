@@ -1,0 +1,71 @@
+"""Multimodal plumbing: schema, batching, decode stub, features,
+frame sampling. The decode itself is a deterministic fake (codecs are
+not in this container); the Spark-side contracts are real."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cello_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark, small_world):
+    docs = spark.createDataFrame(small_world["documents"])
+    return M.attach_media(docs).cache()
+
+
+def test_attach_media_schema_and_counts(spark, small_world, media):
+    assert [f.name for f in media.schema.fields] == [
+        "doc_id",
+        "media_ref",
+        "kind",
+        "content",
+        "meta",
+    ]
+    docs = spark.createDataFrame(small_world["documents"])
+    n_media_spans = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "text")
+        .count()
+    )
+    assert media.count() == n_media_spans
+    assert media.filter(F.col("content").isNull()).count() == 0
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        M.real_decoder(b"xx", "image")
+
+
+def test_decode_media_fake(spark, media):
+    decoded = M.decode_media(media, decoder=M.fake_decoder)
+    rows = decoded.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert 16 <= r.width <= 32 and 16 <= r.height <= 32
+        assert r.channels in (1, 3)
+        assert 0.0 <= r.mean_intensity <= 255.0
+    # deterministic: same input → same decode summary
+    again = {(r.doc_id, r.media_ref): r.mean_intensity for r in decoded.collect()}
+    first = {(r.doc_id, r.media_ref): r.mean_intensity for r in rows}
+    assert again == first
+
+
+def test_extract_features(spark, media):
+    feats = M.extract_features(media, decoder=M.fake_decoder, dim=8)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(len(r.features) == 8 for r in rows)
+
+
+def test_sample_frames(spark):
+    rows = [
+        ("d1", "media://v/1", "video", bytearray(b"abc"),
+         {"mime": "video/mp4", "n_bytes": 3, "duration_ms": 3500}),
+        ("d2", "media://v/2", "video", bytearray(b"xyz"),
+         {"mime": "video/mp4", "n_bytes": 3, "duration_ms": 0}),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = M.sample_frames(media, every_ms=1000)
+    got = {(r.doc_id, r.frame_ts_ms) for r in frames.collect()}
+    assert got == {("d1", 0), ("d1", 1000), ("d1", 2000), ("d1", 3000), ("d2", 0)}

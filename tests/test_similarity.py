@@ -1,0 +1,98 @@
+"""Similarity search: brute-force exactness vs numpy, IVF recall,
+embedding near-dup bucketing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cello_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def corpus_np(corpus):
+    rows = corpus.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    # use the first 3 corpus vectors as queries
+    return (
+        corpus.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+
+
+def _numpy_topk(ids, X, q, k):
+    qn = q / np.linalg.norm(q)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ qn
+    order = np.lexsort((ids, -sims))[:k]
+    return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+def test_bruteforce_matches_numpy(spark, corpus, corpus_np, queries):
+    ids, X = corpus_np
+    got = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    for qrow in queries.collect():
+        want = _numpy_topk(ids, X, np.asarray(qrow.embedding, dtype=np.float64), 5)
+        rows = sorted(by_q[qrow.query_id])
+        assert [v for _, v, _ in rows] == [i for i, _ in want]
+        for (_, _, c), (_, s) in zip(rows, want):
+            assert abs(c - s) < 1e-6
+        # self is always rank 1 with cosine ~1
+        assert rows[0][1] == qrow.query_id and rows[0][2] > 0.999999
+
+
+def test_ivf_recall_vs_bruteforce(spark, corpus, queries):
+    k = 10
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk_bruteforce(corpus, queries, k=k).collect()
+    }
+    assigned, C = S.ivf_build(corpus, n_centroids=8, seed=42)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(assigned, C, queries, k=k, n_probe=8).collect()
+    }
+    # probing ALL centroids == exhaustive search → exact equality
+    assert approx == exact
+    # partial probe: reasonable recall, and strictly fewer candidates scored
+    approx4 = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(assigned, C, queries, k=k, n_probe=4).collect()
+    }
+    recall = len(approx4 & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_assignment_deterministic(spark, corpus):
+    a1, _ = S.ivf_build(corpus, n_centroids=8, seed=42)
+    a2, _ = S.ivf_build(corpus, n_centroids=8, seed=42)
+    d1 = {r.vec_id: r.centroid_id for r in a1.collect()}
+    d2 = {r.vec_id: r.centroid_id for r in a2.collect()}
+    assert d1 == d2
+
+
+def test_embedding_near_dup_pairs(spark):
+    # plant exact duplicates in a small corpus
+    base = [([1.0, 0.0, 0.0], 1), ([1.0, 0.001, 0.0], 2), ([0.0, 1.0, 0.0], 3)]
+    rows = [(i, emb, 0) for emb, i in base]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.999, n_centroids=2)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {(1, 2)}

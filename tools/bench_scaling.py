@@ -1,0 +1,162 @@
+"""Two-parallelism scaling evidence (BASELINE.json north rule: ≥0.8
+throughput scaling efficiency between N and 4N executors; sandbox
+stand-in = local[8] vs local[32] on the SAME input).
+
+Runs the end-to-end KG pipeline (the triples/sec headline job) in a
+fresh subprocess per parallelism level (a JVM can't change master
+in-process), same cached input, and writes BENCH/BASELINE.md.
+
+Efficiency definition (time-based, matching BASELINE.md):
+    speedup   = T_N / T_4N
+    efficiency = speedup / (4N / N) = speedup / 4
+Throughput ratio (triples/sec) is reported alongside.
+
+Usage: python tools/bench_scaling.py [n_docs] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from cello_spark.session import get_spark
+from cello_spark.plans.kg import build_kg_pipeline
+from cello_spark.sources.fixtures import (
+    make_ontology, make_model_weights, make_thresholds)
+
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores)
+onto = make_ontology()
+cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
+documents = spark.read.parquet(cache + "/documents")
+features = spark.read.parquet(cache + "/features")
+# warm the JVM/file cache with a tiny action so T measures the pipeline
+documents.limit(1).count()
+workdir = tempfile.mkdtemp(prefix=f"kg_scale_{{cores}}_")
+try:
+    pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
+                             make_model_weights(onto), make_thresholds(onto))
+    t0 = time.monotonic()
+    pipe.run()
+    n_triples = pipe.output("triples").count()
+    wall = time.monotonic() - t0
+finally:
+    shutil.rmtree(workdir, ignore_errors=True)
+print(json.dumps({{"cores": cores, "wall_sec": wall, "triples": n_triples,
+                  "triples_per_sec": n_triples / wall}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n_docs)],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/tmp",
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def ensure_input(n_docs: int) -> None:
+    """Deterministic chunked generation (seed varies per chunk, doc ids
+    offset) so multi-million-doc inputs build in bounded memory."""
+    cache = os.path.join(REPO, ".cache", "bench", f"kg_docs_{n_docs}")
+    if os.path.exists(cache + "/documents"):
+        return
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from cello_spark.session import get_spark
+from cello_spark.sources.fixtures import make_ontology, make_documents
+spark = get_spark(cores=8)
+onto = make_ontology()
+CHUNK = 100_000
+n = {n_docs}
+for ci, start in enumerate(range(0, n, CHUNK)):
+    sz = min(CHUNK, n - start)
+    docs, feats, _ = make_documents(onto, n_docs=sz, seed=42 + ci, id_offset=start)
+    mode = 'overwrite' if ci == 0 else 'append'
+    spark.createDataFrame(docs).repartition(8).write.mode(mode).parquet({cache + '/documents'!r})
+    spark.createDataFrame(feats).repartition(8).write.mode(mode).parquet({cache + '/features'!r})
+    print('chunk', ci, 'done', flush=True)
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, cwd="/tmp")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    ensure_input(n_docs)
+    results = {}
+    for cores in (8, 32):
+        runs = [run_level(cores, n_docs) for _ in range(repeats)]
+        best = min(runs, key=lambda r: r["wall_sec"])
+        results[cores] = {"best": best, "runs": runs}
+        print(f"local[{cores}]: best {best['wall_sec']:.1f}s "
+              f"({best['triples_per_sec']:.0f} triples/s) over {repeats} runs")
+    t8 = results[8]["best"]["wall_sec"]
+    t32 = results[32]["best"]["wall_sec"]
+    speedup = t8 / t32
+    eff = speedup / 4.0
+    tp_ratio = (
+        results[32]["best"]["triples_per_sec"]
+        / results[8]["best"]["triples_per_sec"]
+    )
+    summary = {
+        "n_docs": n_docs,
+        "triples": results[32]["best"]["triples"],
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "throughput_ratio": round(tp_ratio, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    _write_md(summary)
+    print(json.dumps(summary))
+
+
+def _write_md(s: dict) -> None:
+    b8, b32 = s["local8"]["best"], s["local32"]["best"]
+    md = f"""# BENCH/BASELINE.md — throughput & scaling evidence
+
+Job: full KG-construction pipeline (ontology ingest → closure →
+mention detection → entity linking → canonicalization → triple
+materialize) on {s['n_docs']:,} synthetic interleaved documents
+(seed=42, identical parquet input for both levels), emitting
+{s['triples']:,} triples. Sandbox stand-in for the north rule's
+N vs 4N executor clusters: local[8] vs local[32], same machine,
+best of {len(s['local8']['runs'])} runs.
+
+| parallelism | wall (s) | triples/sec |
+|---|---|---|
+| local[8]  (N)  | {b8['wall_sec']:.1f} | {b8['triples_per_sec']:.0f} |
+| local[32] (4N) | {b32['wall_sec']:.1f} | {b32['triples_per_sec']:.0f} |
+
+- speedup (T_8 / T_32): **{s['speedup_8_to_32']:.2f}×**
+- scaling efficiency (speedup / 4): **{s['scaling_efficiency']:.2f}**
+  (target ≥ 0.8)
+- throughput ratio (4N / N): **{s['throughput_ratio']:.2f}×**
+
+Reproduce: `python tools/bench_scaling.py {s['n_docs']} {len(s['local8']['runs'])}`.
+Raw numbers: `BENCH/scaling.json`. Reference baseline context:
+`/root/repo/BASELINE.md` (the reference is single-process; its only
+published figure is "training takes under an hour").
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

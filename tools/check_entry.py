@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate: runs each
+`queries()` entry on Spark and its `oracle_sql()` on DuckDB at sf0.01,
+compares row count, column names, and order-insensitive values.
+
+Usage: python tools/check_entry.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+from cello_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_entry", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            continue
+        wall = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name:28s} rows={len(got):7d} {wall:6.1f}s")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {ex}"))
+            print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            failures.append((name, f"schema {list(g.columns)} vs {list(w.columns)}"))
+            print(f"FAIL {name}: schema mismatch {list(g.columns)} vs {list(w.columns)}")
+            continue
+        if len(g) != len(w):
+            failures.append((name, f"rows {len(g)} vs {len(w)}"))
+            print(f"FAIL {name}: row count {len(g)} vs {len(w)}")
+            continue
+        if not g.equals(w):
+            neq = (g != w).any(axis=1)
+            diff = pd.concat(
+                [g[neq].head(3).assign(side="spark"), w[neq].head(3).assign(side="duck")]
+            )
+            failures.append((name, "values"))
+            print(f"FAIL {name}: value mismatch ({int(neq.sum())} rows)\n{diff}")
+            continue
+        print(f"ok            {name:28s} rows={len(g):7d} {wall:6.1f}s")
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
