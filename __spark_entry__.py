@@ -365,15 +365,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention detection (P2-analog): dictionary unigram join over
     documents; per-term distinct-doc and mention counts."""
-    from cello_spark.functions.text import normalize_text
+    from cello_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
-        ).alias("term"),
-    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     dict_df = spark.createDataFrame([(t,) for t in MENTION_DICT], "term string")
     return (
         toks.join(F.broadcast(dict_df), "term")
@@ -538,10 +533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# normalized-text SQL fragment shared by several oracles (must mirror
-# cello_spark.functions.text.normalize_text exactly)
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKENS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), t -> t != '')"
+# normalized-text SQL fragments shared by several oracles (must mirror
+# cello_spark.functions.text.tokens / normalize_text exactly:
+# lowercase, fold tab/newline/CR to space, split on single space, drop
+# empties — regex-free on the Spark side, see functions/text.py)
+_TOKENS_SQL = (
+    "list_filter(string_split(translate(lower(text), "
+    "chr(9)||chr(10)||chr(13), '   '), ' '), t -> t != '')"
+)
+_NORM_SQL = f"array_to_string({_TOKENS_SQL}, ' ')"
 _STOP_EN = "['the','of','and','to','in','a','is','that','for','it','with','as','was','on','are']"
 
 

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from cello_spark.functions.text import fingerprint_md5, normalize_text
+from cello_spark.functions.text import fingerprint_md5, tokens as text_tokens
+from cello_spark.partitioning import ensure_min_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -71,11 +72,9 @@ def shingles(
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
     JVM-side n-gram generation (same codegen pattern as mention
     candidate generation)."""
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
-        F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "").alias(
-            "tokens"
-        ),
+        text_tokens(text_col).alias("tokens"),
     )
     return (
         toks.withColumn(
@@ -129,8 +128,10 @@ def ngram_jaccard_pairs(
     (a,b) (common count) only."""
     sh = _cap_common_shingles(shingles(df, id_col, text_col, n), max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # probe side spread across task slots: pair enumeration explodes
+    # |bucket|² rows, which must not run in one coalesced partition
     pairs = (
-        sh.alias("l")
+        ensure_min_partitions(sh).alias("l")
         .join(sh.alias("r"), "shingle")
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .groupBy(
@@ -220,7 +221,7 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
     cands = (
-        banded.alias("l")
+        ensure_min_partitions(banded).alias("l")
         .join(banded.alias("r"), ["band", "band_hash"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
@@ -284,11 +285,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     than unset. ONE aggregate with 64 vote columns (map-side
     combinable) — no per-bit row explosion (64x fewer shuffle rows
     than the naive explode(bit) formulation)."""
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-        ).alias("tok"),
+        F.explode(text_tokens(text_col)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
@@ -327,8 +326,12 @@ def simhash_pairs(
             )
         ).alias("band", "chunk"),
     )
+    # hamming filter BEFORE the dedup shuffle: every duplicate of a
+    # pair carries the same hamming, and the filter drops the vast
+    # majority of the |bucket|² candidates — dropDuplicates then
+    # shuffles only survivors
     return (
-        banded.alias("l")
+        ensure_min_partitions(banded).alias("l")
         .join(banded.alias("r"), ["band", "chunk"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
@@ -338,6 +341,6 @@ def simhash_pairs(
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["a", "b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
     )

@@ -204,15 +204,19 @@ def link_documents(features: DataFrame, model: LinkingModel) -> DataFrame:
             B = m.binarize(R)
             ms_idx, final = m.select_most_specific(R, B)
             ms = np.where(ms_idx >= 0, labels[np.clip(ms_idx, 0, None)], "")
+            # final_labels built with ONE np.nonzero over the batch
+            # (per-row nonzero loops dominated this UDF's profile)
+            rows_nz, cols_nz = np.nonzero(final)
+            counts = np.bincount(rows_nz, minlength=len(final))
+            flat = labels[cols_nz]
+            final_lists = np.split(flat, np.cumsum(counts)[:-1])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "probs": list(R),
                     "bins": list(B),
                     "most_specific": ms,
-                    "final_labels": [
-                        [m.labels[j] for j in np.nonzero(row)[0]] for row in final
-                    ],
+                    "final_labels": [fl.tolist() for fl in final_lists],
                 }
             )
 

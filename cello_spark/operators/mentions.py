@@ -23,12 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-MAX_ALIAS_TOKENS = 6
+from cello_spark.functions.text import tokens as _text_tokens
 
-# lowercase, collapse whitespace; keep word chars, hyphens, (), +
-_NORM = (
-    "regexp_replace(lower(text), '[^a-z0-9()+\\\\- ]', ' ')"
-)
+MAX_ALIAS_TOKENS = 6
 
 
 def text_spans(documents: DataFrame) -> DataFrame:
@@ -51,10 +48,7 @@ def candidate_ngrams(spans: DataFrame, max_n: int = MAX_ALIAS_TOKENS) -> DataFra
     """All 1..max_n token n-grams of each text span, normalized. Fully
     JVM-side (codegen): split → sequence/transform/slice → explode.
     Output (doc_id, span_idx, offset, ngram)."""
-    toks = spans.withColumn(
-        "tokens",
-        F.filter(F.split(F.expr(_NORM), " +"), lambda t: t != ""),
-    )
+    toks = spans.withColumn("tokens", _text_tokens("text"))
     ngrams = toks.withColumn(
         "ngrams",
         F.expr(
@@ -107,16 +101,32 @@ def detect_mentions(
         )
     if max_n is None:
         max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
-    first_tokens = sorted({a.alias_norm.split(" ", 1)[0] for a in aliases})
-    # gate as an inline literal-array membership test — stays inside
-    # one whole-stage-codegen'd expression, no token explode, no array
-    # copying per token. (For dictionaries with >> 10^3 distinct first
-    # tokens, switch to the explode+broadcast-join form.)
-    ft_lit = ", ".join("'" + t.replace("'", "\\'") + "'" for t in first_tokens)
+    # gate: per first-token maximum alias length, bucketed so each
+    # bucket is one IN-set test (Catalyst converts IN lists > 10 items
+    # to a hash-set InSet probe) and positions only build n-grams up to
+    # the longest alias that can actually start there — cuts candidate
+    # string construction by the per-token length profile, not the
+    # global max. (For dictionaries with >> 10^4 distinct first tokens,
+    # switch to the explode+broadcast-join form.)
+    ft_maxlen: dict[str, int] = {}
+    for a in aliases:
+        parts = a.alias_norm.split(" ")
+        ft_maxlen[parts[0]] = max(ft_maxlen.get(parts[0], 0), len(parts))
+    by_len: dict[int, list[str]] = {}
+    for t, n in ft_maxlen.items():
+        by_len.setdefault(min(n, max_n), []).append(t)
+
+    def _in_lit(toks_: list[str]) -> str:
+        return ", ".join("'" + t.replace("'", "\\'") + "'" for t in sorted(toks_))
+
+    n_cand = "CASE " + " ".join(
+        f"WHEN tok IN ({_in_lit(ts)}) THEN {n}" for n, ts in sorted(by_len.items())
+    ) + " ELSE 0 END"
+    # NB: sequence(1, 0) counts DOWN in Spark — gate on n_cand >= 1
     ngram_expr = f"""
         flatten(transform(tokens, (tok, pos) ->
-          if(array_contains(array({ft_lit}), tok),
-             transform(sequence(1, least({max_n}, size(tokens) - pos)),
+          if(({n_cand}) >= 1,
+             transform(sequence(1, least({n_cand}, size(tokens) - pos)),
                        n -> array_join(slice(tokens, pos + 1, n), ' ')),
              array())))
     """
@@ -124,7 +134,7 @@ def detect_mentions(
         "doc_id",
         "span_idx",
         "offset",
-        F.filter(F.split(F.expr(_NORM), " +"), lambda t: t != "").alias("tokens"),
+        _text_tokens("text").alias("tokens"),
     )
     cands = toks.select(
         "doc_id",

@@ -26,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from cello_spark.partitioning import ensure_min_partitions
+
 
 def _dot(a, b):
     # accumulate in float64 — float32 embeddings would otherwise lose
@@ -63,7 +65,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col("query_id"), F.col("embedding").alias("q_emb")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    scored = ensure_min_partitions(corpus).crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         cosine_similarity_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
@@ -121,7 +123,7 @@ def ivf_build(
     schema = T.StructType(
         corpus.schema.fields + [T.StructField("centroid_id", T.IntegerType())]
     )
-    assigned = corpus.mapInPandas(
+    assigned = ensure_min_partitions(corpus).mapInPandas(
         _assign_udf(spark, C, emb_col, "centroid_id"), schema
     )
     return assigned, C

@@ -1,0 +1,412 @@
+"""Model training: per-label logistic ensemble over the label DAG.
+
+Re-expresses the reference's training path Spark-first:
+
+- positive / negative example sets (SO1/SO2,
+  ensemble_binary_classifiers.py:258-297): DataFrame joins against the
+  label closure — positives are items carrying the label or any of its
+  descendants; negatives are everything else EXCEPT ambiguous items
+  whose most-specific labels sit strictly above the target label.
+- study-group weighting (M9/J4, ensemble_binary_classifiers.py:238-251):
+  sample_weight = 1 / |study|, a groupBy + broadcast join.
+- the per-label fit loop (M3/M4, binary_classifier.py:9-49,
+  ensemble_binary_classifiers.py:58-142) becomes ONE distributed IRLS
+  (Newton) solver for ALL labels simultaneously: each Arrow batch
+  computes partial Hessians X'S_lX and gradients X'r_l for every label
+  in vectorized numpy; the driver sums partials (deterministic order)
+  and solves L small (d+1)x(d+1) systems per iteration. One Spark pass
+  per Newton iteration — at 100 TB this is a handful of map-side-only
+  scans, no shuffle, no per-label job storm.
+- labels with no negative examples are 'trivial' (constant prob 1.0,
+  ensemble_binary_classifiers.py:122-128).
+- class_weight='balanced' (binary_classifier.py:22-29): w_pos =
+  n/(2*n_pos), w_neg = n/(2*n_neg), computed in the same first pass.
+- intercept is unregularized (the reference's intercept_scaling=1000
+  makes the bias effectively penalty-free).
+
+Output matches `LinkingModel.from_tables` weights format
+(label, coef, intercept, is_trivial) so a trained model drops straight
+into the linking stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from cello_spark.functions.hierarchy import sigmoid
+
+
+# ---------------------------------------------------------------------------
+# SO1 / SO2 — positive & negative example sets as DataFrame ops
+# ---------------------------------------------------------------------------
+
+
+def positive_examples(labels_long: DataFrame, closure: DataFrame) -> DataFrame:
+    """SO1 (_compute_positive_examples,
+    ensemble_binary_classifiers.py:258-273): item is positive for label
+    L iff it carries L or any descendant of L. `labels_long` =
+    (item, label); `closure` = strict (descendant, ancestor) pairs
+    (small, broadcast). Output (item, label) distinct."""
+    lifted = labels_long.join(
+        F.broadcast(closure),
+        labels_long.label == closure.descendant,
+    ).select("item", F.col("ancestor").alias("label"))
+    return labels_long.select("item", "label").union(lifted).distinct()
+
+
+def negative_examples(
+    labels_long: DataFrame,
+    closure: DataFrame,
+    ms_labels_long: DataFrame,
+    all_labels: DataFrame,
+) -> DataFrame:
+    """SO2 (_compute_negative_examples,
+    ensemble_binary_classifiers.py:277-297): negatives for label L =
+    all items − positives(L) − ambiguous items (those having a
+    most-specific label that is a STRICT ancestor of L — they might be
+    an unresolved L). `all_labels` = 1-column (label) dim (tiny).
+    Output (item, label) distinct.
+
+    Scale note: this materializes |items| x |labels| candidate rows —
+    fine for queries/tests; the distributed fit never materializes it
+    (masks are computed per Arrow batch from the broadcast closure)."""
+    items = labels_long.select("item").distinct()
+    universe = items.crossJoin(F.broadcast(all_labels))
+    pos = positive_examples(labels_long, closure)
+    ambig = (
+        ms_labels_long.join(
+            F.broadcast(closure),
+            ms_labels_long.ms_label == closure.ancestor,
+        )
+        .select("item", F.col("descendant").alias("label"))
+        .distinct()
+    )
+    return (
+        universe.join(pos, ["item", "label"], "left_anti")
+        .join(ambig, ["item", "label"], "left_anti")
+        .distinct()
+    )
+
+
+def study_weights(item_study: DataFrame) -> DataFrame:
+    """M9/J4 (ensemble_binary_classifiers.py:238-251): per-item sample
+    weight 1/|study group|. `item_study` = (item, study). Output
+    (item, weight)."""
+    sizes = item_study.groupBy("study").agg(F.count(F.lit(1)).alias("n"))
+    return item_study.join(F.broadcast(sizes), "study").select(
+        "item", (F.lit(1.0) / F.col("n")).alias("weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-space masks (driver-side, O(L²) — labels are ontology-sized)
+# ---------------------------------------------------------------------------
+
+
+def _ancestor_masks(labels: list[str], label_edges: list[tuple[str, str]]):
+    """(anc_strict, anc_with_self) boolean LxL matrices;
+    anc[i, j] = labels[j] is a (strict) ancestor of labels[i]."""
+    n = len(labels)
+    pos = {l: i for i, l in enumerate(labels)}
+    parents: dict[int, set[int]] = {}
+    for c, p in label_edges:
+        if c in pos and p in pos:
+            parents.setdefault(pos[c], set()).add(pos[p])
+    anc = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        frontier = set(parents.get(i, ()))
+        seen: set[int] = set()
+        while frontier:
+            seen |= frontier
+            frontier = {g for f in frontier for g in parents.get(f, ())} - seen
+        anc[i, list(seen)] = True
+    return anc, anc | np.eye(n, dtype=bool)
+
+
+def _batch_y_mask(
+    label_lists: pd.Series,
+    ms_lists: pd.Series,
+    pos_of: dict[str, int],
+    anc_strict: np.ndarray,
+    anc_with_self: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-batch computation of y (positives) and the
+    include-mask (positives + unambiguous negatives) — the UDF-side
+    mirror of SO1/SO2, O(rows x L) numpy."""
+    n, L = len(label_lists), anc_strict.shape[0]
+    lab_ind = np.zeros((n, L), dtype=bool)
+    ms_ind = np.zeros((n, L), dtype=bool)
+    for i, labs in enumerate(label_lists):
+        for l in labs:
+            j = pos_of.get(l)
+            if j is not None:
+                lab_ind[i, j] = True
+    for i, labs in enumerate(ms_lists):
+        for l in labs:
+            j = pos_of.get(l)
+            if j is not None:
+                ms_ind[i, j] = True
+    # pos[i, l] = item carries l or any descendant: lift each carried
+    # label onto its ancestors-with-self
+    y = (lab_ind @ anc_with_self) > 0
+    # ambig[i, l] = some most-specific label of i is a strict ancestor
+    # of l
+    ambig = (ms_ind @ anc_strict.T) > 0
+    mask = y | ~ambig
+    return y, mask
+
+
+# ---------------------------------------------------------------------------
+# Distributed IRLS ensemble fit
+# ---------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("kind", T.StringType()),  # 'counts' | 'newton'
+        T.StructField("payload", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _prep_training_frame(
+    features: DataFrame,  # (item, features)
+    labels_long: DataFrame,  # (item, label)
+    ms_labels_long: DataFrame | None,  # (item, ms_label)
+    item_study: DataFrame | None,  # (item, study)
+) -> DataFrame:
+    """(item, features, labels, ms_labels, weight) — one row per item.
+    The only shuffles in the whole fit: these groupBy(item) collects
+    (and they are keyed by the same column, so they co-partition)."""
+    labs = labels_long.groupBy("item").agg(
+        F.array_sort(F.collect_set("label")).alias("labels")
+    )
+    out = features.join(labs, "item")
+    if ms_labels_long is not None:
+        ms = ms_labels_long.groupBy("item").agg(
+            F.array_sort(F.collect_set("ms_label")).alias("ms_labels")
+        )
+        out = out.join(ms, "item", "left")
+    else:
+        out = out.withColumn("ms_labels", F.array().cast("array<string>"))
+    if item_study is not None:
+        out = out.join(study_weights(item_study), "item", "left")
+    else:
+        out = out.withColumn("weight", F.lit(1.0))
+    return out.select(
+        "item",
+        "features",
+        "labels",
+        F.coalesce("ms_labels", F.array().cast("array<string>")).alias("ms_labels"),
+        F.coalesce("weight", F.lit(1.0)).alias("weight"),
+    )
+
+
+def fit_hierarchical_lr(
+    features: DataFrame,  # (item, features: array<double>)
+    labels_long: DataFrame,  # (item, label)
+    label_edges: list[tuple[str, str]],  # (child, parent) over the label DAG
+    ms_labels_long: DataFrame | None = None,  # (item, ms_label); None => labels
+    item_study: DataFrame | None = None,  # (item, study) for M9 weighting
+    l2: float = 1.0,
+    n_iter: int = 8,
+    balanced: bool = True,
+) -> pd.DataFrame:
+    """Distributed Newton (IRLS) fit of one L2 logistic regression per
+    label, all labels at once. Returns a weights frame
+    (label, coef, intercept, is_trivial) for `LinkingModel.from_tables`.
+
+    Per iteration: one map-side-only pass over the (cached) training
+    frame; each partition ships back L packed (d+1)² Hessian partials +
+    (d+1) gradient partials. Driver sums partials sorted by partition
+    id (bit-deterministic), solves L small systems, rebroadcasts W.
+    """
+    spark = features.sparkSession
+    labels = sorted(
+        r["label"] for r in labels_long.select("label").distinct().collect()
+    )
+    L = len(labels)
+    pos_of = {l: i for i, l in enumerate(labels)}
+    anc_strict, anc_with_self = _ancestor_masks(labels, label_edges)
+
+    if ms_labels_long is None:
+        # default: most-specific labels = the labels themselves pruned
+        # to leaves of each item's own label set; for ancestor-closed
+        # label sets this equals the reference's exp_to_ms_labels
+        ms_labels_long = most_specific_labels(labels_long, label_edges)
+
+    train = _prep_training_frame(
+        features, labels_long, ms_labels_long, item_study
+    ).persist()
+    d = len(train.select("features").first()["features"])
+
+    bc_masks = spark.sparkContext.broadcast(
+        (pos_of, anc_strict, anc_with_self)
+    )
+
+    # ---- pass 0: per-label positive/negative weighted counts ----------
+    def count_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pos_of_, anc_s, anc_ws = bc_masks.value
+        Ln = anc_s.shape[0]
+        acc = np.zeros(2 * Ln, dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            y, mask = _batch_y_mask(
+                pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws
+            )
+            w = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
+            acc[:Ln] += ((y & mask) * w).sum(axis=0)
+            acc[Ln:] += ((~y & mask) * w).sum(axis=0)
+        if seen:
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {"pid": [pid], "kind": ["counts"], "payload": [acc.tolist()]}
+            )
+
+    counts = np.zeros(2 * L)
+    for row in sorted(
+        train.mapInPandas(count_pass, _PARTIAL_SCHEMA).collect(),
+        key=lambda r: r["pid"],
+    ):
+        counts += np.asarray(row["payload"])
+    n_pos, n_neg = counts[:L], counts[L:]
+    trivial = n_neg <= 0.0
+    if balanced:
+        tot = n_pos + n_neg
+        w_pos = np.where(n_pos > 0, tot / (2.0 * np.maximum(n_pos, 1e-12)), 0.0)
+        w_neg = np.where(n_neg > 0, tot / (2.0 * np.maximum(n_neg, 1e-12)), 0.0)
+    else:
+        w_pos = np.ones(L)
+        w_neg = np.ones(L)
+
+    # ---- Newton iterations -------------------------------------------
+    W = np.zeros((L, d), dtype=np.float64)
+    b = np.zeros(L, dtype=np.float64)
+    dd = d + 1  # bias column appended
+    bc_cw = spark.sparkContext.broadcast((w_pos, w_neg))
+
+    for _ in range(n_iter):
+        bc_W = spark.sparkContext.broadcast((W.copy(), b.copy()))
+
+        def newton_pass(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pos_of_, anc_s, anc_ws = bc_masks.value
+            Wl, bl = bc_W.value
+            wp, wn = bc_cw.value
+            Ln = anc_s.shape[0]
+            H = np.zeros((Ln, dd, dd), dtype=np.float64)
+            g = np.zeros((Ln, dd), dtype=np.float64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                X = np.stack(
+                    [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
+                )
+                Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+                y, mask = _batch_y_mask(
+                    pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws
+                )
+                w_item = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
+                P = sigmoid(X @ Wl.T + bl)
+                cw = np.where(y, wp[None, :], wn[None, :]) * w_item * mask
+                # gradient: X'((p - y) * cw); curvature: X'diag(s)X,
+                # s = p(1-p)*cw (one einsum per batch, all labels)
+                R = (P - y.astype(np.float64)) * cw
+                S = P * (1.0 - P) * cw
+                g += np.einsum("nd,nl->ld", Xb, R)
+                H += np.einsum("nl,nd,ne->lde", S, Xb, Xb)
+            if seen:
+                payload = np.concatenate(
+                    [H.reshape(Ln * dd * dd), g.reshape(Ln * dd)]
+                )
+                yield pd.DataFrame(
+                    {
+                        "pid": [TaskContext.get().partitionId()],
+                        "kind": ["newton"],
+                        "payload": [payload.tolist()],
+                    }
+                )
+
+        rows = train.mapInPandas(newton_pass, _PARTIAL_SCHEMA).collect()
+        H = np.zeros((L, dd, dd))
+        g = np.zeros((L, dd))
+        # deterministic accumulation order (partition id)
+        for row in sorted(rows, key=lambda r: r["pid"]):
+            p = np.asarray(row["payload"])
+            H += p[: L * dd * dd].reshape(L, dd, dd)
+            g += p[L * dd * dd :].reshape(L, dd)
+        # L2 on weights only (bias unregularized — the reference's
+        # intercept_scaling=1000 effect)
+        reg = l2 * np.eye(dd)
+        reg[-1, -1] = 0.0
+        for l in range(L):
+            if trivial[l]:
+                continue
+            gl = g[l].copy()
+            gl[:-1] += l2 * W[l]
+            delta = np.linalg.solve(H[l] + reg, gl)
+            W[l] -= delta[:-1]
+            b[l] -= delta[-1]
+        bc_W.destroy()
+
+    train.unpersist()
+    return pd.DataFrame(
+        {
+            "label": labels,
+            "coef": [W[l].tolist() for l in range(L)],
+            "intercept": b.astype(np.float64),
+            "is_trivial": trivial,
+        }
+    )
+
+
+def most_specific_labels(
+    labels_long: DataFrame, label_edges: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-item most-specific labels (drop any label that is a strict
+    ancestor of another label the item carries) — the reference's
+    exp_to_ms_labels (load_training_data.py:71-76). Output
+    (item, ms_label)."""
+    spark = labels_long.sparkSession
+    if label_edges:
+        labels = sorted({x for e in label_edges for x in e})
+        anc_strict, _ = _ancestor_masks(labels, label_edges)
+        idx = {l: i for i, l in enumerate(labels)}
+        pairs = [
+            (labels[i], labels[j])
+            for i in range(len(labels))
+            for j in np.nonzero(anc_strict[i])[0]
+        ]
+    else:
+        pairs = []
+    closure = spark.createDataFrame(
+        pairs or [("__none__", "__none__")], "descendant string, ancestor string"
+    )
+    dominated = (
+        labels_long.alias("d")
+        .join(
+            F.broadcast(closure).alias("c"),
+            F.col("d.label") == F.col("c.descendant"),
+        )
+        .select("item", F.col("c.ancestor").alias("label"))
+        .distinct()
+        .join(labels_long, ["item", "label"], "left_semi")
+    )
+    return labels_long.join(dominated, ["item", "label"], "left_anti").select(
+        "item", F.col("label").alias("ms_label")
+    )

@@ -128,15 +128,12 @@ def prepare_ontology(onto: Ontology, term_prefix: str = TERM_PREFIX) -> dict[str
 def _ensure_parallelism(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> DataFrame:
     """Small/under-split sources (a handful of tiny parquet files get
     coalesced into ~1 scan partition by maxPartitionBytes) would make
-    the whole document side serial. Hash-repartition by doc key to
-    2x task slots when the scan has fewer splits than slots — on a
-    real 100 TB table the file splits already provide this and the
-    repartition is skipped. Keying by doc_id also co-partitions the
-    later features ⋈ mentions semi-join."""
-    slots = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= slots:
-        return df
-    return df.repartition(2 * slots, key)
+    the whole document side serial — spread them keyed by doc_id, which
+    also co-partitions the later features ⋈ mentions semi-join. No-op
+    on a real 100 TB table (file splits already provide parallelism)."""
+    from cello_spark.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(df, key=key)
 
 
 def build_kg_pipeline(
@@ -189,8 +186,11 @@ def build_kg_pipeline(
 
     def stage_linked(ctx: dict) -> DataFrame:
         # mention gate: only docs that mention at least one ontology
-        # term get linked (left_semi keeps the doc side partitioning)
-        mentioned = ctx["mentions"].select("doc_id").dropDuplicates()
+        # term get linked. No dropDuplicates on the mention side — the
+        # left_semi hash build dedups natively, and the explicit dedup
+        # costs a full extra aggregate exchange (measured 15s vs 2s on
+        # 8.5M mentions at local[32])
+        mentioned = ctx["mentions"].select("doc_id")
         gated = features.join(mentioned, "doc_id", "left_semi")
         return link_documents(gated, model)
 

@@ -20,6 +20,16 @@ from pyspark.sql import SparkSession
 # stays well under 100 MB per batch.
 ARROW_MAX_RECORDS = 10_000
 
+# One BLAS thread per task slot: each Spark task already owns a core,
+# so letting OpenBLAS/MKL spawn its own pool oversubscribes the box
+# (measured 1.7x slowdown on the linking matmul at local[32]).
+_BLAS_ENV = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
 
 def get_spark(
     app_name: str = "cello_spark",
@@ -36,9 +46,14 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
-        # ~1x cores locally; on a cluster this would be tuned to
+        # ~2x cores locally; on a cluster this would be tuned to
         # ~2-3x total executor cores (or left to AQE coalescing).
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = max(2 * cores, 16)
+
+    # local mode: python workers fork under this process tree and
+    # inherit its environment, so set the pins before the JVM starts
+    for k, v in _BLAS_ENV.items():
+        os.environ.setdefault(k, v)
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -55,10 +70,22 @@ def get_spark(
             str(ARROW_MAX_RECORDS),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # throughput GC: interpreted higher-order expressions (lambda
+        # transforms, n-gram building) allocate heavily; measured on
+        # this JDK17 build, G1 serializes at high task parallelism
+        # (mentions stage: 30s G1 vs 15s ParallelGC at local[32])
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
+        # worker reuse amortizes the ~1-2s numpy/pandas import per
+        # Python worker across the pipeline's mapInPandas stages
+        .config("spark.python.worker.reuse", "true")
         # deterministic float semantics for oracle comparison
         .config("spark.sql.legacy.allowUntypedScalaUDF", "false")
     )
+    # cluster mode: the same pins must reach executor-side workers
+    for k, v in _BLAS_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
