@@ -319,6 +319,95 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
+def q_clr_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7/J6/A7: cascaded-classifier marginals — exp(Σ log p) over each
+    label's ancestors∪self in the division DAG; conditional probs
+    derived deterministically from lineitem quantities."""
+    from cello_spark.operators.cascade import clr_marginals, closure_with_self
+    from cello_spark.operators.graph import transitive_closure
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _part_edges(spark, sf_dir).withColumn("rel", F.lit("is_a"))
+    closure = transitive_closure(edges, rels=("is_a",))
+    cond = (
+        li.filter(F.col("l_orderkey") <= 500)
+        .groupBy(
+            F.col("l_orderkey").alias("item"), F.col("l_partkey").alias("label")
+        )
+        .agg((F.max("l_quantity") / F.lit(60.0)).alias("prob"))
+    )
+    out = clr_marginals(cond, closure_with_self(closure))
+    return out.select("item", "label", _r6(F.col("marginal")).alias("marginal"))
+
+
+def q_one_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8/J7: 1-nearest-neighbor (euclidean) of every embedding against
+    a 5-vector reference set."""
+    from cello_spark.operators.similarity import one_nn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref_pdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("ref_id"), "embedding")
+        .toPandas()
+    )
+    out = one_nn(emb, ref_pdf, metric="euclidean")
+    return out.select(
+        F.col("id").alias("vec_id"), "ref_id", _r6(F.col("distance")).alias("distance")
+    )
+
+
+def q_positive_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1: items positive for a label = carry it or any descendant
+    (labels = partkeys under the division DAG, items = orders)."""
+    from cello_spark.operators.graph import transitive_closure
+    from cello_spark.operators.training import positive_examples
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _part_edges(spark, sf_dir).withColumn("rel", F.lit("is_a"))
+    closure = transitive_closure(edges, rels=("is_a",)).select(
+        "descendant", "ancestor"
+    )
+    labels_long = (
+        li.filter(F.col("l_orderkey") <= 500)
+        .select(F.col("l_orderkey").alias("item"), F.col("l_partkey").alias("label"))
+        .dropDuplicates()
+    )
+    return positive_examples(labels_long, closure).orderBy("item", "label")
+
+
+def q_study_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9/J4: per-item sample weight = 1/|study| (study = customer of
+    the order)."""
+    from cello_spark.operators.training import study_weights
+
+    orders = _t(spark, sf_dir, "orders")
+    item_study = orders.select(
+        F.col("o_orderkey").alias("item"), F.col("o_custkey").alias("study")
+    )
+    return study_weights(item_study).select(
+        "item", _r6(F.col("weight")).alias("weight")
+    )
+
+
+def q_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distributed triple P/R — compare the division-DAG triple set
+    against a perturbed variant (every 7th edge dropped, one alien
+    edge added)."""
+    from cello_spark.operators.metrics import triple_pr
+
+    edges = _part_edges(spark, sf_dir)
+    want = edges.select(
+        F.col("src").cast("string").alias("subj"),
+        F.lit("is_a").alias("pred"),
+        F.col("dst").cast("string").alias("obj"),
+    )
+    got = want.filter(F.col("subj").cast("long") % 7 != 0).union(
+        spark.createDataFrame([("alien", "is_a", "node")], "subj string, pred string, obj string")
+    )
+    return triple_pr(got, want)
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / mention queries (documents table)
 # ---------------------------------------------------------------------------
@@ -517,6 +606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closure": q_closure,
         "q_most_specific": q_most_specific,
         "q_connected_components": q_connected_components,
+        "q_clr_marginals": q_clr_marginals,
+        "q_one_nn": q_one_nn,
+        "q_positive_examples": q_positive_examples,
+        "q_study_weights": q_study_weights,
+        "q_triple_pr": q_triple_pr,
         "q_text_stats": q_text_stats,
         "q_dedup_exact_groups": q_dedup_exact_groups,
         "q_dedup_keep_min": q_dedup_keep_min,
@@ -725,6 +819,120 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT x AS node, least(x, min(y)) AS component
             FROM reach GROUP BY x ORDER BY node
+        """,
+        "q_clr_marginals": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), strict AS (
+              SELECT descendant, ancestor FROM closure
+              WHERE descendant != ancestor
+            ), cws AS (
+              SELECT descendant, ancestor FROM strict
+              UNION
+              SELECT n, n FROM (
+                SELECT descendant AS n FROM strict
+                UNION SELECT ancestor FROM strict
+              )
+            ), cond AS (
+              SELECT l_orderkey AS item, l_partkey AS label,
+                     max(l_quantity) / 60.0 AS prob
+              FROM lineitem WHERE l_orderkey <= 500
+              GROUP BY 1, 2
+            )
+            SELECT item, c.descendant AS label,
+                   round(CASE WHEN min(prob) <= 0 THEN 0.0
+                              ELSE exp(sum(ln(prob))) END, 6) AS marginal
+            FROM cond JOIN cws c ON cond.label = c.ancestor
+            GROUP BY item, c.descendant
+        """,
+        "q_one_nn": """
+            WITH ref AS (
+              SELECT vec_id AS ref_id, embedding FROM embeddings
+              WHERE vec_id < 5
+            ), scored AS (
+              SELECT e.vec_id, r.ref_id,
+                     list_distance(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(r.embedding AS DOUBLE[])) AS d
+              FROM embeddings e CROSS JOIN ref r
+            ), ranked AS (
+              SELECT vec_id, ref_id, d,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, ref_id ASC) AS rn
+              FROM scored
+            )
+            SELECT vec_id, ref_id, round(d, 6) AS distance
+            FROM ranked WHERE rn = 1
+        """,
+        "q_positive_examples": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), labels AS (
+              SELECT DISTINCT l_orderkey AS item, l_partkey AS label
+              FROM lineitem WHERE l_orderkey <= 500
+            )
+            SELECT DISTINCT item, label FROM (
+              SELECT item, label FROM labels
+              UNION
+              SELECT l.item, c.ancestor AS label
+              FROM labels l JOIN closure c ON l.label = c.descendant
+              WHERE c.descendant != c.ancestor
+            ) ORDER BY item, label
+        """,
+        "q_study_weights": """
+            SELECT o_orderkey AS item,
+                   round(1.0 / count(*) OVER (PARTITION BY o_custkey), 6)
+                     AS weight
+            FROM orders
+        """,
+        "q_triple_pr": """
+            WITH edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), want AS (
+              SELECT DISTINCT CAST(src AS VARCHAR) AS subj,
+                     'is_a' AS pred, CAST(dst AS VARCHAR) AS obj
+              FROM edges
+            ), got AS (
+              SELECT DISTINCT subj, pred, obj FROM (
+                SELECT subj, pred, obj FROM want
+                WHERE CAST(subj AS BIGINT) % 7 != 0
+                UNION ALL SELECT 'alien', 'is_a', 'node'
+              )
+            ), counts AS (
+              SELECT
+                (SELECT count(*) FROM got g
+                 JOIN want w ON g.subj = w.subj AND g.pred = w.pred
+                            AND g.obj = w.obj) AS tp,
+                (SELECT count(*) FROM got) AS n_g,
+                (SELECT count(*) FROM want) AS n_w
+            )
+            SELECT tp, n_g - tp AS fp, n_w - tp AS fn,
+                   CAST(tp AS DOUBLE) / n_g AS precision,
+                   CAST(tp AS DOUBLE) / n_w AS recall,
+                   2.0 * (CAST(tp AS DOUBLE) / n_g) * (CAST(tp AS DOUBLE) / n_w)
+                     / (CAST(tp AS DOUBLE) / n_g + CAST(tp AS DOUBLE) / n_w) AS f1
+            FROM counts
         """,
         "q_text_stats": f"""
             SELECT doc_id,

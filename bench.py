@@ -33,6 +33,8 @@ HEADLINE = [
     "q_closure",
     "q_most_specific",
     "q_connected_components",
+    "q_clr_marginals",
+    "q_one_nn",
     "q_text_stats",
     "q_dedup_keep_min",
     "q_ngram_jaccard",

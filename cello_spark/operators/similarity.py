@@ -166,6 +166,77 @@ def ivf_topk(
     )
 
 
+def one_nn(
+    items: DataFrame,  # (id, embedding)
+    ref_pdf: pd.DataFrame,  # (ref_id, embedding) — small reference set
+    metric: str = "euclidean",  # euclidean | correlation | jensen_shannon
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """1-nearest-neighbor against a broadcast reference matrix — the
+    reference's OneNN classifier (cello/models/one_nn.py:60-152;
+    Jensen-Shannon distance :47-57). Distance matrix per Arrow batch in
+    vectorized numpy; argmin tie-break = lowest ref_id (refs sorted).
+    Output (id, ref_id, distance)."""
+    spark = items.sparkSession
+    ref_sorted = ref_pdf.sort_values("ref_id").reset_index(drop=True)
+    R = np.stack([np.asarray(v, dtype=np.float64) for v in ref_sorted[emb_col]])
+    ref_ids = ref_sorted["ref_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((R, ref_ids, metric))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R_, ids_, metric_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            if metric_ == "euclidean":
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    + (R_ * R_).sum(axis=1)[None, :]
+                    - 2.0 * (X @ R_.T)
+                )
+                D = np.sqrt(np.maximum(d2, 0.0))
+            elif metric_ == "correlation":
+                Xc = X - X.mean(axis=1, keepdims=True)
+                Rc = R_ - R_.mean(axis=1, keepdims=True)
+                Xn = Xc / (np.linalg.norm(Xc, axis=1, keepdims=True) + 1e-12)
+                Rn = Rc / (np.linalg.norm(Rc, axis=1, keepdims=True) + 1e-12)
+                D = 1.0 - Xn @ Rn.T
+            elif metric_ == "jensen_shannon":
+                # rows treated as distributions (shift nonneg, L1 norm);
+                # JSD(p, q) = H((p+q)/2) - (H(p) + H(q)) / 2
+                def _distify(A):
+                    A = A - A.min(axis=1, keepdims=True)
+                    return A / (A.sum(axis=1, keepdims=True) + 1e-12)
+
+                def _H(A):
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = np.where(A > 0, A * np.log(A), 0.0)
+                    return -t.sum(axis=-1)
+
+                P_ = _distify(X)
+                Q_ = _distify(R_)
+                M = 0.5 * (P_[:, None, :] + Q_[None, :, :])
+                D = _H(M) - 0.5 * (_H(P_)[:, None] + _H(Q_)[None, :])
+            else:
+                raise ValueError(f"unknown metric {metric_!r}")
+            nn = np.argmin(D, axis=1)  # first (lowest ref idx) on ties
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "ref_id": ids_[nn],
+                    "distance": D[np.arange(len(X)), nn],
+                }
+            )
+
+    id_type = dict(items.dtypes)[id_col]
+    ref_type = "string" if ref_ids.dtype == object else "long"
+    return ensure_min_partitions(items).select(id_col, emb_col).mapInPandas(
+        run, f"id {id_type}, ref_id {ref_type}, distance double"
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,229 @@
+"""Expression-matrix sources and expression-side operators.
+
+The reference loads dense cells×genes matrices from 10x MatrixMarket
+directories, delimited files, and HDF5 (cello/load_expression_matrix.py)
+and normalizes orientation to CELLS × GENES. The Spark-native shape is
+the LONG table (sample_id, gene_id, value) — sparse-friendly, shuffle
+keys explicit, and every downstream operator (multi-gene sum,
+pseudo-bulk, QC filters) is a groupBy/window over it.
+
+- read_10x           : S1 (load_expression_matrix.py:52-86) — mtx is
+                       parsed distributed (spark.read.text), the tiny
+                       genes/barcodes TSVs driver-side then joined.
+- read_matrix_csv    : S2 (:88-107) — wide delimited matrix unpivoted
+                       via the stack() expression (JVM-side melt);
+                       `rows_cells` mirrors the reference's transpose
+                       convention.
+- read_hdf5          : S3 (:110-137) — gated behind an h5py import-try
+                       (not in this container): driver-side read of the
+                       caller-keyed datasets, emitted long.
+- load_expression    : S4 dispatch (:12-50).
+- sum_duplicate_genes: P3/A2 (cello/cello.py:162-173; semantics
+                       documented in test/CellO_test.py:22-83).
+- aggregate_expression: A1 pseudo-bulk (cello/cello.py:554-576):
+                       per cluster: sum(expm1(v)) per gene →
+                       renormalize cluster total to 1e6 → log1p.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+# ---------------------------------------------------------------------------
+# S1 — 10x MatrixMarket directory
+# ---------------------------------------------------------------------------
+
+
+def read_10x(spark: SparkSession, data_loc: str) -> DataFrame:
+    """10x directory {matrix.mtx, genes.tsv, barcodes.tsv} → long
+    (sample_id, gene_id, value). The mtx body is parsed distributed;
+    the '%' comment prologue and the dims line are dropped by filtering
+    on the running line index (zipWithIndex over the text RDD keeps
+    file order). genes/barcodes are dimension tables: read driver-side
+    (KBs–MBs) and broadcast-joined on the 1-based mtx indices."""
+    genes = pd.read_csv(
+        os.path.join(data_loc, "genes.tsv"), sep="\t", header=None
+    )
+    barcodes = pd.read_csv(
+        os.path.join(data_loc, "barcodes.tsv"), sep="\t", header=None
+    )
+    gene_dim = spark.createDataFrame(
+        [(i + 1, str(g)) for i, g in enumerate(genes[0])],
+        "gene_idx int, gene_id string",
+    )
+    cell_dim = spark.createDataFrame(
+        [(i + 1, str(b)) for i, b in enumerate(barcodes[0])],
+        "cell_idx int, sample_id string",
+    )
+    lines = spark.sparkContext.textFile(os.path.join(data_loc, "matrix.mtx"))
+    body = (
+        lines.zipWithIndex()
+        .filter(lambda li: not li[0].startswith("%"))
+        .zipWithIndex()  # re-index comment-free lines; 0 = dims line
+        .filter(lambda li: li[1] > 0)
+        .map(lambda li: li[0][0])
+    )
+    triplets = (
+        spark.createDataFrame(body.map(lambda l: (l,)), "line string")
+        .select(F.split(F.trim("line"), " ").alias("p"))
+        .select(
+            F.col("p")[0].cast("int").alias("gene_idx"),
+            F.col("p")[1].cast("int").alias("cell_idx"),
+            F.col("p")[2].cast("double").alias("value"),
+        )
+    )
+    return (
+        triplets.join(F.broadcast(gene_dim), "gene_idx")
+        .join(F.broadcast(cell_dim), "cell_idx")
+        .select("sample_id", "gene_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — delimited matrix
+# ---------------------------------------------------------------------------
+
+
+def read_matrix_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    rows_cells: bool = True,
+) -> DataFrame:
+    """Wide delimited matrix (header = column ids, first column = row
+    ids) → long (sample_id, gene_id, value). `rows_cells=True` means
+    rows are cells / columns genes (the reference transposes when
+    False, load_expression_matrix.py:94-95 — here both orientations
+    land in the same long schema, no physical transpose needed).
+    The melt is a single JVM-side stack() expression."""
+    wide = spark.read.option("header", True).option("sep", sep).csv(path)
+    id_col = wide.columns[0]
+    val_cols = wide.columns[1:]
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as double)" for c in val_cols
+    )
+    long = wide.select(
+        F.col(id_col).alias("row_id"),
+        F.expr(f"stack({len(val_cols)}, {pairs}) as (col_id, value)"),
+    )
+    if rows_cells:
+        return long.select(
+            F.col("row_id").alias("sample_id"),
+            F.col("col_id").alias("gene_id"),
+            "value",
+        )
+    return long.select(
+        F.col("col_id").alias("sample_id"),
+        F.col("row_id").alias("gene_id"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — HDF5 (gated: h5py not in this container)
+# ---------------------------------------------------------------------------
+
+
+def read_hdf5(
+    spark: SparkSession,
+    path: str,
+    expression_key: str = "expression",
+    cells_key: str = "experiment",
+    genes_key: str = "gene_id",
+) -> DataFrame:
+    """Caller-keyed HDF5 datasets → long DataFrame. Driver-side h5py
+    read (the reference's training bundles are single files); raises
+    ImportError with guidance when h5py is unavailable."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - container lacks h5py
+        raise ImportError(
+            "read_hdf5 requires h5py; convert to parquet offline or "
+            "install h5py on the driver"
+        ) from ex
+    import numpy as np
+
+    with h5py.File(path, "r") as f:  # pragma: no cover
+        cells = [
+            c.decode() if isinstance(c, bytes) else str(c)
+            for c in f[cells_key][:]
+        ]
+        genes = [
+            g.decode() if isinstance(g, bytes) else str(g)
+            for g in f[genes_key][:]
+        ]
+        X = np.asarray(f[expression_key][:], dtype=float)
+    rows = [
+        (cells[i], genes[j], float(X[i, j]))
+        for i in range(len(cells))
+        for j in range(len(genes))
+    ]
+    return spark.createDataFrame(rows, "sample_id string, gene_id string, value double")
+
+
+def load_expression(
+    spark: SparkSession, data_loc: str, fmt: str, **kwargs
+) -> DataFrame:
+    """S4 dispatch (load_expression_matrix.py:12-50): format switch
+    over 10x / CSV / TSV / HDF5, all landing in the long schema."""
+    if fmt == "10x":
+        return read_10x(spark, data_loc)
+    if fmt == "csv":
+        return read_matrix_csv(spark, data_loc, sep=",", **kwargs)
+    if fmt == "tsv":
+        return read_matrix_csv(spark, data_loc, sep="\t", **kwargs)
+    if fmt == "hdf5":
+        return read_hdf5(spark, data_loc, **kwargs)
+    raise ValueError(f"unknown format {fmt!r} (10x|csv|tsv|hdf5)")
+
+
+# ---------------------------------------------------------------------------
+# P3/A2 — multi-mapped gene sum
+# ---------------------------------------------------------------------------
+
+
+def sum_duplicate_genes(
+    long_df: DataFrame,  # (sample_id, gene_id, value)
+    gene_map: DataFrame,  # (gene_id, train_gene_id) — small, 1:N allowed
+) -> DataFrame:
+    """When several input genes map to one training gene, their
+    expression sums (cello/cello.py:162-173; worked examples in
+    test/CellO_test.py:22-83). Broadcast map join + groupBy sum —
+    partial aggregation map-side."""
+    return (
+        long_df.join(F.broadcast(gene_map), "gene_id")
+        .groupBy("sample_id", F.col("train_gene_id").alias("gene_id"))
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — pseudo-bulk aggregate
+# ---------------------------------------------------------------------------
+
+
+def aggregate_expression(
+    long_df: DataFrame,  # (sample_id, gene_id, value) in log1p units
+    clusters: DataFrame,  # (sample_id, cluster)
+) -> DataFrame:
+    """The reference's per-cluster pseudo-bulk chain
+    (cello/cello.py:554-576): undo log (expm1), sum per (cluster,
+    gene), renormalize each cluster's total to 1e6, re-log1p. Output
+    (cluster, gene_id, value). One shuffle on (cluster, gene_id) plus
+    a cluster-partitioned window for the renormalization total."""
+    per = (
+        long_df.join(F.broadcast(clusters), "sample_id")
+        .groupBy("cluster", "gene_id")
+        .agg(F.sum(F.expm1("value")).alias("s"))
+    )
+    w = Window.partitionBy("cluster")
+    return per.select(
+        "cluster",
+        "gene_id",
+        F.log1p(F.col("s") * F.lit(1e6) / F.sum("s").over(w)).alias("value"),
+    )

@@ -1,0 +1,123 @@
+"""Expression sources (S1/S2/S4) and expression operators (P3, A1) vs
+hand-computed goldens mirroring the reference's semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cello_spark.sources.expression import (
+    aggregate_expression,
+    load_expression,
+    read_10x,
+    read_matrix_csv,
+    sum_duplicate_genes,
+)
+
+
+@pytest.fixture(scope="module")
+def tenx_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tenx")
+    # genes g1..g3, cells c1..c2; 1-based MatrixMarket triplets
+    (d / "genes.tsv").write_text("g1\tGene1\ng2\tGene2\ng3\tGene3\n")
+    (d / "barcodes.tsv").write_text("c1\nc2\n")
+    (d / "matrix.mtx").write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% comment line\n"
+        "3 2 4\n"
+        "1 1 5.0\n"
+        "2 1 1.5\n"
+        "3 2 2.0\n"
+        "1 2 7.0\n"
+    )
+    return str(d)
+
+
+def test_read_10x(spark, tenx_dir):
+    got = {
+        (r["sample_id"], r["gene_id"]): r["value"]
+        for r in read_10x(spark, tenx_dir).collect()
+    }
+    assert got == {
+        ("c1", "g1"): 5.0,
+        ("c1", "g2"): 1.5,
+        ("c2", "g3"): 2.0,
+        ("c2", "g1"): 7.0,
+    }
+
+
+def test_read_matrix_csv_both_orientations(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("id,g1,g2\ns1,1.0,2.0\ns2,3.0,4.0\n")
+    got = {
+        (r["sample_id"], r["gene_id"]): r["value"]
+        for r in read_matrix_csv(spark, str(p), rows_cells=True).collect()
+    }
+    assert got[("s1", "g2")] == 2.0 and got[("s2", "g1")] == 3.0
+    # transposed convention: rows are genes
+    got_t = {
+        (r["sample_id"], r["gene_id"]): r["value"]
+        for r in read_matrix_csv(spark, str(p), rows_cells=False).collect()
+    }
+    assert got_t[("g1", "s1")] == 1.0 and got_t[("g2", "s2")] == 4.0
+
+
+def test_load_expression_dispatch(spark, tenx_dir):
+    assert load_expression(spark, tenx_dir, "10x").count() == 4
+    with pytest.raises(ValueError):
+        load_expression(spark, tenx_dir, "nope")
+
+
+def test_sum_duplicate_genes(spark):
+    """P3 semantics (cello/cello.py:162-173): several input genes
+    mapping to one training gene sum their expression."""
+    long_df = spark.createDataFrame(
+        [("s1", "a", 1.0), ("s1", "b", 2.0), ("s1", "c", 10.0),
+         ("s2", "a", 5.0), ("s2", "c", 1.0)],
+        "sample_id string, gene_id string, value double",
+    )
+    gmap = spark.createDataFrame(
+        [("a", "T1"), ("b", "T1"), ("c", "T2")],
+        "gene_id string, train_gene_id string",
+    )
+    got = {
+        (r["sample_id"], r["gene_id"]): r["value"]
+        for r in sum_duplicate_genes(long_df, gmap).collect()
+    }
+    assert got == {
+        ("s1", "T1"): 3.0,
+        ("s1", "T2"): 10.0,
+        ("s2", "T1"): 5.0,
+        ("s2", "T2"): 1.0,
+    }
+
+
+def test_aggregate_expression_golden(spark):
+    """A1 (cello/cello.py:554-576): expm1 → per-cluster gene sums →
+    renormalize cluster total to 1e6 → log1p; golden computed by hand
+    with numpy on a 3-cell, 2-gene example."""
+    X = {  # log1p units
+        ("s1", "g1"): 1.0, ("s1", "g2"): 2.0,
+        ("s2", "g1"): 0.5, ("s2", "g2"): 0.0,
+        ("s3", "g1"): 3.0, ("s3", "g2"): 1.0,
+    }
+    long_df = spark.createDataFrame(
+        [(s, g, v) for (s, g), v in X.items()],
+        "sample_id string, gene_id string, value double",
+    )
+    clusters = spark.createDataFrame(
+        [("s1", 0), ("s2", 0), ("s3", 1)], "sample_id string, cluster int"
+    )
+    got = {
+        (r["cluster"], r["gene_id"]): r["value"]
+        for r in aggregate_expression(long_df, clusters).collect()
+    }
+    # numpy oracle
+    for cl, samples in ((0, ["s1", "s2"]), (1, ["s3"])):
+        raw = {
+            g: sum(np.expm1(X[(s, g)]) for s in samples) for g in ("g1", "g2")
+        }
+        tot = sum(raw.values())
+        for g in ("g1", "g2"):
+            want = np.log1p(raw[g] * 1e6 / tot)
+            assert abs(got[(cl, g)] - want) < 1e-9, (cl, g)

@@ -69,10 +69,15 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 def ensure_input(n_docs: int) -> None:
     """Deterministic chunked generation (seed varies per chunk, doc ids
-    offset) so multi-million-doc inputs build in bounded memory."""
+    offset) so multi-million-doc inputs build in bounded memory. A
+    _COMPLETE marker distinguishes finished inputs from the debris of a
+    killed generation run."""
     cache = os.path.join(REPO, ".cache", "bench", f"kg_docs_{n_docs}")
-    if os.path.exists(cache + "/documents"):
+    if os.path.exists(cache + "/_COMPLETE"):
         return
+    import shutil
+
+    shutil.rmtree(cache, ignore_errors=True)
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
 from cello_spark.session import get_spark
@@ -90,6 +95,8 @@ for ci, start in enumerate(range(0, n, CHUNK)):
     print('chunk', ci, 'done', flush=True)
 """
     subprocess.run([sys.executable, "-c", code], check=True, cwd="/tmp")
+    with open(cache + "/_COMPLETE", "w") as f:
+        f.write("ok\n")
 
 
 def main() -> None:
