@@ -225,6 +225,63 @@ def link_documents(features: DataFrame, model: LinkingModel) -> DataFrame:
     )
 
 
+def link_documents_clustered(
+    features: DataFrame,  # (doc_id, features)
+    clusters: DataFrame,  # (doc_id, cluster)
+    model: LinkingModel,
+) -> DataFrame:
+    """Cluster-level linking with member map-back — the reference's
+    core cost optimization (predict once per cluster, replicate to
+    member cells: _combine_by_cluster cello/cello.py:579-611, map-back
+    :340-362). Three steps, each scale-shaped:
+
+      1. per-cluster mean feature vector via applyInPandas (one shuffle
+         keyed by cluster; the reference's expression analog is the A1
+         pseudo-bulk chain, which for generic feature vectors reduces
+         to the elementwise mean — documented deviation);
+      2. `link_documents` over the CLUSTER table (orders of magnitude
+         smaller than the doc table);
+      3. broadcast join of cluster results back onto members.
+
+    Output: link_documents schema + `cluster`.
+    """
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    feat_field = features.schema["features"].dataType.simpleString()
+    cl_type = dict(clusters.dtypes)["cluster"]
+
+    def mean_features(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["features"]])
+        return pd.DataFrame(
+            {"cluster": [pdf["cluster"].iloc[0]], "features": [X.mean(axis=0).tolist()]}
+        )
+
+    with_cluster = features.join(clusters, "doc_id")
+    cluster_feats = with_cluster.groupBy("cluster").applyInPandas(
+        mean_features, f"cluster {cl_type}, features {feat_field}"
+    )
+    # linking's output schema keys by a string id — route the cluster
+    # key through a string cast and join back on it
+    cluster_linked = link_documents(
+        cluster_feats.select(
+            F.col("cluster").cast("string").alias("doc_id"), "features"
+        ),
+        model,
+    ).withColumnRenamed("doc_id", "__cluster_key")
+    return (
+        clusters.withColumn("__cluster_key", F.col("cluster").cast("string"))
+        .join(F.broadcast(cluster_linked), "__cluster_key")
+        .select(
+            "doc_id",
+            "cluster",
+            "probs",
+            "bins",
+            "most_specific",
+            "final_labels",
+        )
+    )
+
+
 def link_results_long(linked: DataFrame, labels: list[str]) -> DataFrame:
     """Explode the wide linking output to (doc_id, label, prob, bin)."""
     spark = linked.sparkSession

@@ -76,6 +76,7 @@ def detect_mentions(
     documents: DataFrame,
     alias_dict: DataFrame,  # (alias_norm, term_id) — small, broadcast
     max_n: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Dictionary mention detection. Returns
     (doc_id, span_idx, offset, alias_norm, term_id), distinct per
@@ -142,14 +143,16 @@ def detect_mentions(
         "offset",
         F.explode(F.expr(ngram_expr)).alias("ngram"),
     )
-    return (
-        cands.join(
-            F.broadcast(alias_dict),
-            cands.ngram == alias_dict.alias_norm,
-        )
-        .select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
-        .dropDuplicates(["doc_id", "span_idx", "term_id"])
-    )
+    out = cands.join(
+        F.broadcast(alias_dict),
+        cands.ngram == alias_dict.alias_norm,
+    ).select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
+    if not distinct:
+        # streaming callers skip the dedup — stateful dropDuplicates
+        # on an unbounded stream needs a watermark, and overlapping
+        # alias hits per (span, term) are harmless at-least-once
+        return out
+    return out.dropDuplicates(["doc_id", "span_idx", "term_id"])
 
 
 def mention_counts_salted(mentions: DataFrame, n_salts: int = 32) -> DataFrame:

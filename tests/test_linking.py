@@ -169,3 +169,46 @@ def test_typing_triples_shape(spark, linked_df):
     # every doc with a selection contributes at least itself + root
     n_docs = linked_df.filter(F.col("most_specific") != "").count()
     assert t.select("subj").distinct().count() == n_docs
+
+
+def test_link_documents_clustered(spark, onto, small_world, label_edges):
+    """Cluster-level linking == linking the cluster-mean vectors, with
+    results replicated to every member (reference cello.py:579-611,
+    :340-362)."""
+    import numpy as np
+    from cello_spark.operators.linking import (
+        LinkingModel,
+        link_documents_clustered,
+    )
+    from cello_spark.sources.fixtures import QUALIFIER_SUFFIXES, term_id
+
+    feats = small_world["features"]
+    model = LinkingModel.from_tables(
+        small_world["weights"],
+        small_world["thresholds"],
+        label_edges,
+        qualifier_labels={term_id(s) for s in QUALIFIER_SUFFIXES},
+    )
+    features = spark.createDataFrame(feats)
+    clusters = spark.createDataFrame(
+        [(d, int(i) % 5) for i, d in enumerate(feats["doc_id"])],
+        "doc_id string, cluster int",
+    )
+    got = link_documents_clustered(features, clusters, model).toPandas()
+    assert len(got) == len(feats)
+    # every member of a cluster carries identical results
+    per_cluster = got.groupby("cluster").most_specific.nunique()
+    assert (per_cluster == 1).all()
+    # numpy oracle: link the mean vector of cluster 0 directly
+    member_ids = {d for i, d in enumerate(feats["doc_id"]) if i % 5 == 0}
+    X = np.stack(
+        [np.asarray(v) for d, v in zip(feats["doc_id"], feats["features"])
+         if d in member_ids]
+    )
+    mean_vec = X.mean(axis=0)[None, :]
+    R = model.reconcile(model.score(mean_vec))
+    B = model.binarize(R)
+    ms_idx, _ = model.select_most_specific(R, B)
+    want_ms = model.labels[ms_idx[0]] if ms_idx[0] >= 0 else ""
+    got_ms = got[got.cluster == 0].most_specific.iloc[0]
+    assert got_ms == want_ms

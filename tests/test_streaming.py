@@ -1,0 +1,87 @@
+"""Incremental streaming ingest: exactly-once file processing across
+restarts, batch-operator parity, span-sequence invariant."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cello_spark.operators.mentions import detect_mentions
+from cello_spark.plans.kg import prepare_ontology
+from cello_spark.streaming.ingest import ingest_available_now
+
+
+@pytest.fixture(scope="module")
+def world(spark, onto):
+    from cello_spark.sources.fixtures import make_documents
+
+    prep = prepare_ontology(onto)
+    alias_df = spark.createDataFrame(prep["alias_dict"])
+    batch1, _, _ = make_documents(onto, n_docs=40, seed=11)
+    batch2, _, _ = make_documents(onto, n_docs=30, seed=12, id_offset=1000)
+    return alias_df, batch1, batch2
+
+
+def test_incremental_ingest_exactly_once(spark, world, tmp_path):
+    alias_df, batch1, batch2 = world
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(batch1).write.mode("append").parquet(in_dir)
+    ingest_available_now(spark, in_dir, out_dir, ckpt, alias_df)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    # batch parity (modulo the streaming path's skipped dedup)
+    want1 = detect_mentions(
+        spark.read.parquet(in_dir), alias_df, distinct=False
+    ).count()
+    assert n1 == want1
+
+    # second invocation with NO new files: nothing re-processed
+    ingest_available_now(spark, in_dir, out_dir, ckpt, alias_df)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # new files land → only they are processed (append, not recompute)
+    spark.createDataFrame(batch2).write.mode("append").parquet(in_dir)
+    ingest_available_now(spark, in_dir, out_dir, ckpt, alias_df)
+    n2 = spark.read.parquet(out_dir).count()
+    want_all = detect_mentions(
+        spark.read.parquet(in_dir), alias_df, distinct=False
+    ).count()
+    assert n2 == want_all > n1
+
+    # mentions from both batches present, keyed by doc_id
+    docs_seen = {
+        r["doc_id"]
+        for r in spark.read.parquet(out_dir).select("doc_id").distinct().collect()
+    }
+    assert any(d < "doc_00001000" for d in docs_seen)  # batch 1
+    assert any(d >= "doc_00001000" for d in docs_seen)  # batch 2
+
+
+def test_streaming_preserves_span_invariant(spark, world, tmp_path):
+    """Documents are untouched by ingest: the mentions side table is
+    additive; re-reading the input preserves (kind, text, media_ref,
+    order) per doc exactly."""
+    alias_df, batch1, _ = world
+    in_dir = str(tmp_path / "docs2")
+    spark.createDataFrame(batch1).write.mode("append").parquet(in_dir)
+    ingest_available_now(
+        spark, in_dir, str(tmp_path / "m2"), str(tmp_path / "c2"), alias_df
+    )
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in spark.read.parquet(in_dir).collect()
+    }
+    want = {
+        r.doc_id: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r.spans
+        ]
+        for r in batch1.itertuples(index=False)
+    }
+    assert got == want
