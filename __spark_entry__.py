@@ -552,6 +552,26 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): media spans → typed binary
+    table → deterministic fake decode → per-item shape/intensity row.
+    Runs on the fixture world (the sf documents table carries no
+    spans column)."""
+    from cello_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        fake_decoder,
+    )
+    from cello_spark.sources.fixtures import make_documents, make_ontology
+
+    onto = make_ontology()
+    docs, _, _ = make_documents(onto, n_docs=100)
+    media = attach_media(spark.createDataFrame(docs))
+    return decode_media(media, decoder=fake_decoder).orderBy(
+        "doc_id", "media_ref"
+    )
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (fixture world, deterministic) — the flagship
     end-to-end operator chain; rows-only (oracle is the pytest numpy
@@ -623,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_lang_detect": q_lang_detect,
         "q_ivf_topk": q_ivf_topk,
+        "q_media_decode": q_media_decode,
         "q_kg_triples": q_kg_triples,
     }
 

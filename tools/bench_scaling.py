@@ -32,14 +32,22 @@ from cello_spark.sources.fixtures import (
     make_ontology, make_model_weights, make_thresholds)
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
-spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores)
+# Stage outputs and shuffle go to RAM-backed storage: on a real
+# cluster both land on executor-local NVMe / distributed FS whose
+# aggregate bandwidth scales with cluster size; the bench box has ONE
+# ~450 MB/s virtio disk, a fixed resource that would otherwise cap the
+# very scaling this benchmark exists to measure.
+shm = "/dev/shm/kg_bench"
+os.makedirs(shm, exist_ok=True)
+spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores,
+                  extra_conf={{"spark.local.dir": shm + "/spark-local"}})
 onto = make_ontology()
 cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
 documents = spark.read.parquet(cache + "/documents")
 features = spark.read.parquet(cache + "/features")
 # warm the JVM/file cache with a tiny action so T measures the pipeline
 documents.limit(1).count()
-workdir = tempfile.mkdtemp(prefix=f"kg_scale_{{cores}}_")
+workdir = tempfile.mkdtemp(prefix=f"kg_scale_{{cores}}_", dir=shm)
 try:
     pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
                              make_model_weights(onto), make_thresholds(onto))
