@@ -319,6 +319,44 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
+def _part_edges_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division DAG plus direct grandparent edges — the grandparent
+    edges are path-implied, giving transitive reduction real work."""
+    part = _t(spark, sf_dir, "part")
+    keys = part.select(F.col("p_partkey").alias("k"))
+    e1 = part.filter(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("src"),
+        F.floor(F.col("p_partkey") / 10).cast("long").alias("dst"),
+    )
+    e2 = part.filter(F.col("p_partkey") >= 100).select(
+        F.col("p_partkey").alias("src"),
+        F.floor(F.col("p_partkey") / 100).cast("long").alias("dst"),
+    )
+    return (
+        e1.union(e2)
+        .join(keys.withColumnRenamed("k", "dst"), "dst", "left_semi")
+        .dropDuplicates()
+    )
+
+
+def q_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: drop edges implied by longer paths (the direct grandparent
+    edges of the augmented division DAG)."""
+    from cello_spark.operators.graph import transitive_reduction
+
+    edges = _part_edges_multi(spark, sf_dir)
+    return transitive_reduction(edges).orderBy("src", "dst")
+
+
+def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: Kahn layering of the division DAG — layer = longest distance
+    from a root (node with no parent)."""
+    from cello_spark.operators.graph import topological_layers
+
+    edges = _part_edges(spark, sf_dir)
+    return topological_layers(edges).orderBy("layer", "node")
+
+
 def q_clr_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7/J6/A7: cascaded-classifier marginals — exp(Σ log p) over each
     label's ancestors∪self in the division DAG; conditional probs
@@ -626,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closure": q_closure,
         "q_most_specific": q_most_specific,
         "q_connected_components": q_connected_components,
+        "q_transitive_reduction": q_transitive_reduction,
+        "q_topo_layers": q_topo_layers,
         "q_clr_marginals": q_clr_marginals,
         "q_one_nn": q_one_nn,
         "q_positive_examples": q_positive_examples,
@@ -840,6 +880,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT x AS node, least(x, min(y)) AS component
             FROM reach GROUP BY x ORDER BY node
+        """,
+        "q_transitive_reduction": """
+            WITH RECURSIVE e AS (
+              SELECT src, dst FROM (
+                SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+                FROM part p WHERE p.p_partkey >= 10
+                UNION
+                SELECT p.p_partkey AS src, (p.p_partkey // 100) AS dst
+                FROM part p WHERE p.p_partkey >= 100
+              )
+              WHERE EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = dst)
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM e
+              UNION
+              SELECT c.descendant, e2.dst AS ancestor
+              FROM closure c JOIN e e2 ON c.ancestor = e2.src
+            )
+            SELECT src, dst FROM e e1
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e e2
+              JOIN closure c ON e2.dst = c.descendant AND c.ancestor = e1.dst
+              WHERE e2.src = e1.src AND e2.dst != e1.dst
+            )
+            ORDER BY src, dst
+        """,
+        "q_topo_layers": """
+            WITH RECURSIVE e AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), nodes AS (
+              SELECT src AS n FROM e UNION SELECT dst FROM e
+            ), dist AS (
+              SELECT n AS node, 0 AS d FROM nodes
+              WHERE n NOT IN (SELECT src FROM e)
+              UNION
+              SELECT e.src AS node, d.d + 1 FROM dist d
+              JOIN e ON e.dst = d.node
+            )
+            SELECT node, max(d) AS layer FROM dist
+            GROUP BY node ORDER BY layer, node
         """,
         "q_clr_marginals": """
             WITH RECURSIVE edges AS (

@@ -375,6 +375,27 @@ def fit_hierarchical_lr(
     )
 
 
+def save_model(weights_pdf: pd.DataFrame, path: str) -> None:
+    """Persist a fitted weights frame (label, coef, intercept,
+    is_trivial) as parquet — the reference dill-serializes the whole
+    model object (cello_predict.py:148-159); a columnar table is the
+    engine-portable equivalent (readable by Spark, pandas, DuckDB) and
+    is what `LinkingModel.from_tables` consumes at score time."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(weights_pdf, preserve_index=False), path)
+
+
+def load_model(path: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pandas()
+
+
 def most_specific_labels(
     labels_long: DataFrame, label_edges: list[tuple[str, str]]
 ) -> DataFrame:

@@ -164,19 +164,20 @@ def build_kg_pipeline(
 
     pipe = Pipeline(spark, workdir)
 
-    # --- ontology-side stages: driver-computed, shipped once ---------
+    # --- ontology-side stages: driver-computed (tiny=True → pyarrow
+    # materialization, zero Spark jobs; read back lazily as DataFrames)
 
-    def stage_ontology(ctx: dict) -> DataFrame:
-        return spark.createDataFrame(prep["edges"]).coalesce(1)
+    def stage_ontology(ctx: dict) -> pd.DataFrame:
+        return prep["edges"]
 
-    def stage_closure(ctx: dict) -> DataFrame:
-        return spark.createDataFrame(prep["closure"]).coalesce(1)
+    def stage_closure(ctx: dict) -> pd.DataFrame:
+        return prep["closure"]
 
-    def stage_onto_triples(ctx: dict) -> DataFrame:
-        return spark.createDataFrame(prep["onto_triples"]).coalesce(1)
+    def stage_onto_triples(ctx: dict) -> pd.DataFrame:
+        return prep["onto_triples"]
 
-    def stage_canonical_map(ctx: dict) -> DataFrame:
-        return spark.createDataFrame(prep["canonical_map"]).coalesce(1)
+    def stage_canonical_map(ctx: dict) -> pd.DataFrame:
+        return prep["canonical_map"]
 
     # --- document-side stages: distributed ---------------------------
 
@@ -217,12 +218,12 @@ def build_kg_pipeline(
         )
 
     (
-        pipe.add_stage("ontology", stage_ontology)
-        .add_stage("closure", stage_closure)
-        .add_stage("onto_triples", stage_onto_triples)
+        pipe.add_stage("ontology", stage_ontology, tiny=True)
+        .add_stage("closure", stage_closure, tiny=True)
+        .add_stage("onto_triples", stage_onto_triples, tiny=True)
         .add_stage("mentions", stage_mentions)
         .add_stage("linked", stage_linked)
-        .add_stage("canonical_map", stage_canonical_map)
+        .add_stage("canonical_map", stage_canonical_map, tiny=True)
         .add_stage("triples", stage_triples)
     )
     return pipe

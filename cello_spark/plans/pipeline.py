@@ -41,10 +41,21 @@ class StageResult:
 class Pipeline:
     spark: SparkSession
     workdir: str
-    stages: list[tuple[str, Callable[[dict], DataFrame]]] = field(default_factory=list)
+    stages: list[tuple[str, Callable[[dict], "DataFrame"], bool]] = field(
+        default_factory=list
+    )
 
-    def add_stage(self, name: str, fn: Callable[[dict], DataFrame]) -> "Pipeline":
-        self.stages.append((name, fn))
+    def add_stage(
+        self, name: str, fn: Callable[[dict], DataFrame], tiny: bool = False
+    ) -> "Pipeline":
+        """`tiny=True` marks a driver-resident stage (ontology-sized
+        data): its function returns a pandas DataFrame which is written
+        directly with pyarrow — zero Spark jobs, same on-disk layout,
+        same manifest/lineage/resume contract. Each regular stage costs
+        several driver↔cluster round trips (write job + lineage
+        aggregate + count); for KB-sized stages that overhead dwarfs
+        the work and taxes the scaling benchmark's fixed-cost floor."""
+        self.stages.append((name, fn, tiny))
         return self
 
     # -- manifest ----------------------------------------------------------
@@ -85,7 +96,7 @@ class Pipeline:
         manifest = self._load_manifest()
         ctx = dict(ctx or {})
         results: list[StageResult] = []
-        for name, fn in self.stages:
+        for name, fn, tiny in self.stages:
             sdir = self._stage_dir(name)
             data_dir = os.path.join(sdir, "data")
             entry = manifest["stages"].get(name)
@@ -99,32 +110,38 @@ class Pipeline:
             df = fn(ctx)
             tmp_dir = os.path.join(sdir, "_tmp_data")
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            # lineage piggybacks on the same write: partition id column
-            # is added, written with the data, aggregated afterwards
-            # from the materialized output (one cheap columnar scan).
-            df.withColumn("__pid", F.spark_partition_id()).write.mode(
-                "overwrite"
-            ).parquet(tmp_dir)
-            shutil.rmtree(data_dir, ignore_errors=True)
-            os.makedirs(sdir, exist_ok=True)
-            os.replace(tmp_dir, data_dir)
-            out = self.spark.read.parquet(data_dir)
-            lineage = (
-                out.groupBy(F.col("__pid").alias("partition_id"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .withColumn("stage", F.lit(name))
-            )
-            lineage.write.mode("overwrite").parquet(os.path.join(sdir, "_lineage"))
-            # row count derived from the lineage aggregate — one scan
-            # serves both metrics (no separate count() action)
-            rows = (
-                self.spark.read.parquet(os.path.join(sdir, "_lineage"))
-                .agg(F.sum("rows"))
-                .collect()[0][0]
-                or 0
-            )
+            if tiny:
+                rows = self._write_tiny(df, name, sdir, tmp_dir, data_dir)
+            else:
+                # lineage piggybacks on the same write: partition id
+                # column is added, written with the data, aggregated
+                # afterwards from the materialized output (one cheap
+                # columnar scan).
+                df.withColumn("__pid", F.spark_partition_id()).write.mode(
+                    "overwrite"
+                ).parquet(tmp_dir)
+                shutil.rmtree(data_dir, ignore_errors=True)
+                os.makedirs(sdir, exist_ok=True)
+                os.replace(tmp_dir, data_dir)
+                out = self.spark.read.parquet(data_dir)
+                lineage = (
+                    out.groupBy(F.col("__pid").alias("partition_id"))
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .withColumn("stage", F.lit(name))
+                )
+                lineage.write.mode("overwrite").parquet(
+                    os.path.join(sdir, "_lineage")
+                )
+                # row count derived from the lineage aggregate — one
+                # scan serves both metrics (no separate count() action)
+                rows = (
+                    self.spark.read.parquet(os.path.join(sdir, "_lineage"))
+                    .agg(F.sum("rows"))
+                    .collect()[0][0]
+                    or 0
+                )
             wall = time.monotonic() - t0
-            ctx[name] = out.drop("__pid")
+            ctx[name] = self.spark.read.parquet(data_dir).drop("__pid")
             manifest["stages"][name] = {
                 "status": "complete",
                 "rows": rows,
@@ -138,6 +155,37 @@ class Pipeline:
                 break
         return results
 
+    def _write_tiny(self, pdf, name: str, sdir: str, tmp_dir: str, data_dir: str) -> int:
+        """Driver-side materialization for tiny stages: pyarrow write
+        (no Spark jobs), identical directory layout + lineage schema."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.copy()
+        pdf["__pid"] = 0
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(tmp_dir, "part-00000.parquet"),
+        )
+        shutil.rmtree(data_dir, ignore_errors=True)
+        os.makedirs(sdir, exist_ok=True)
+        os.replace(tmp_dir, data_dir)
+        lin_dir = os.path.join(sdir, "_lineage")
+        shutil.rmtree(lin_dir, ignore_errors=True)
+        os.makedirs(lin_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "partition_id": pa.array([0], pa.int32()),
+                    "rows": pa.array([len(pdf)], pa.int64()),
+                    "stage": pa.array([name], pa.string()),
+                }
+            ),
+            os.path.join(lin_dir, "part-00000.parquet"),
+        )
+        return len(pdf)
+
     def output(self, name: str) -> DataFrame:
         data_dir = os.path.join(self._stage_dir(name), "data")
         return self.spark.read.parquet(data_dir).drop("__pid")
@@ -146,7 +194,7 @@ class Pipeline:
         """Union of all stages' per-partition lineage rows."""
         paths = [
             os.path.join(self._stage_dir(name), "_lineage")
-            for name, _ in self.stages
+            for name, _, _ in self.stages
             if os.path.exists(os.path.join(self._stage_dir(name), "_lineage"))
         ]
         return self.spark.read.parquet(*paths)

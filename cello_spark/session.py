@@ -61,6 +61,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
+        # smaller scan splits than the 128m default: local test inputs
+        # are ~100MB-2GB, and a handful of oversized splits would both
+        # serialize the scan and force ensure_min_partitions into a
+        # full repartition shuffle. On a real cluster spark-submit
+        # overrides this back to 128m+ (100 TB → plenty of splits).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -203,6 +203,42 @@ def sum_duplicate_genes(
 
 
 # ---------------------------------------------------------------------------
+# P7/P8 — QC filters (new_cello/preprocess/__init__.py:73-180)
+# ---------------------------------------------------------------------------
+
+
+def filter_cells(
+    long_df: DataFrame,  # (sample_id, gene_id, value), zeros omitted
+    min_genes: int = 0,
+    min_counts: float = 0.0,
+    max_counts: float | None = None,
+) -> DataFrame:
+    """Cell QC (P7): keep samples with >= min_genes expressed genes and
+    total counts within [min_counts, max_counts]. One aggregate + a
+    semi-join back onto the long table."""
+    stats = long_df.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n_genes"),
+        F.sum("value").alias("total"),
+    )
+    keep = stats.filter(
+        (F.col("n_genes") >= min_genes) & (F.col("total") >= min_counts)
+    )
+    if max_counts is not None:
+        keep = keep.filter(F.col("total") <= max_counts)
+    return long_df.join(keep.select("sample_id"), "sample_id", "left_semi")
+
+
+def filter_genes(long_df: DataFrame, min_cells: int = 1) -> DataFrame:
+    """Gene QC (P8): keep genes expressed in >= min_cells samples."""
+    keep = (
+        long_df.groupBy("gene_id")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .filter(F.col("n_cells") >= min_cells)
+    )
+    return long_df.join(keep.select("gene_id"), "gene_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
 # A1 — pseudo-bulk aggregate
 # ---------------------------------------------------------------------------
 

@@ -284,6 +284,29 @@ def ontology_triples(edges: DataFrame) -> DataFrame:
     )
 
 
+def rename_to_names(
+    df: DataFrame, terms: DataFrame, col: str, out_col: str | None = None
+) -> DataFrame:
+    """O4 (cello_predict.py:182-194): term id column → human-readable
+    '<name> (<id>)' via a broadcast join with the terms dim; ids with
+    no term row pass through unchanged."""
+    out_col = out_col or col
+    dim = F.broadcast(
+        terms.select(F.col("term_id").alias("__tid"), F.col("name").alias("__tname"))
+    )
+    return (
+        df.join(dim, df[col] == F.col("__tid"), "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__tname").isNotNull(),
+                F.concat(F.col("__tname"), F.lit(" ("), F.col(col), F.lit(")")),
+            ).otherwise(F.col(col)),
+        )
+        .drop("__tid", "__tname")
+    )
+
+
 def alias_dictionary(terms: DataFrame) -> DataFrame:
     """Normalized alias → term_id dictionary for mention detection:
     names + all synonym strings (the reference probes name_to_ids and

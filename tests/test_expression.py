@@ -121,3 +121,24 @@ def test_aggregate_expression_golden(spark):
         for g in ("g1", "g2"):
             want = np.log1p(raw[g] * 1e6 / tot)
             assert abs(got[(cl, g)] - want) < 1e-9, (cl, g)
+
+
+def test_qc_filters(spark):
+    rows = [
+        ("s1", "g1", 5.0), ("s1", "g2", 1.0), ("s1", "g3", 1.0),
+        ("s2", "g1", 0.5),
+        ("s3", "g2", 100.0), ("s3", "g3", 2.0),
+    ]
+    long_df = spark.createDataFrame(
+        rows, "sample_id string, gene_id string, value double"
+    )
+    from cello_spark.sources.expression import filter_cells, filter_genes
+
+    kept = filter_cells(long_df, min_genes=2, min_counts=3.0)
+    assert {r["sample_id"] for r in kept.collect()} == {"s1", "s3"}
+    capped = filter_cells(long_df, min_genes=2, min_counts=3.0, max_counts=50.0)
+    assert {r["sample_id"] for r in capped.collect()} == {"s1"}
+    genes = filter_genes(long_df, min_cells=2)
+    assert {r["gene_id"] for r in genes.collect()} == {"g1", "g2", "g3"}
+    genes2 = filter_genes(filter_cells(long_df, min_genes=2), min_cells=2)
+    assert {r["gene_id"] for r in genes2.collect()} == {"g2", "g3"}

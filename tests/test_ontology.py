@@ -156,3 +156,18 @@ def test_alias_dictionary(spark, onto):
     assert ("t cell (syn)", "CS:0000030") in rows  # EXACT synonym, normalized
     # BROAD uppercase synonym normalizes to same lowercase string
     assert ("monocyte", "CS:0000033") in rows
+
+
+def test_rename_to_names(spark, onto):
+    from cello_spark.sources.ontology import rename_to_names
+
+    terms = spark.createDataFrame(
+        onto.terms[["term_id", "name"]]
+    )
+    df = spark.createDataFrame(
+        [(onto.terms.term_id.iloc[0],), ("NOPE:123",)], "subj string"
+    )
+    got = {r["subj"] for r in rename_to_names(df, terms, "subj").collect()}
+    first = onto.terms.iloc[0]
+    assert f"{first['name']} ({first['term_id']})" in got
+    assert "NOPE:123" in got

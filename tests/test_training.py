@@ -189,3 +189,18 @@ def test_trained_model_feeds_linking(spark, trained, onto, label_edges):
     merged = linked.merge(truth, on="doc_id")
     hit = (merged.most_specific == merged.true_label).mean()
     assert hit > 0.75, f"most-specific recovery {hit:.3f}"
+
+
+def test_model_save_load_roundtrip(tmp_path, trained):
+    import numpy as np
+    from cello_spark.operators.training import load_model, save_model
+
+    _, _, _, weights, _ = trained
+    p = str(tmp_path / "model.parquet")
+    save_model(weights, p)
+    back = load_model(p)
+    assert back.label.tolist() == weights.label.tolist()
+    np.testing.assert_array_equal(
+        np.stack(back.coef.map(np.asarray)), np.stack(weights.coef.map(np.asarray))
+    )
+    assert back.is_trivial.tolist() == weights.is_trivial.tolist()
