@@ -174,11 +174,17 @@ class LinkingModel:
         return ms_idx, final
 
 
+# Emitted probabilities are float32 and binaries int8: all decisions
+# (thresholding, reconciliation, most-specific argmax) happen in
+# float64 INSIDE the kernel; only the reported values are narrowed.
+# The reference's TSV outputs carry ~6 significant digits — float32's
+# 7 cover them — and at 10^12 docs this halves the largest
+# intermediate's storage and Arrow transfer.
 LINK_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
-        T.StructField("probs", T.ArrayType(T.DoubleType())),
-        T.StructField("bins", T.ArrayType(T.IntegerType())),
+        T.StructField("probs", T.ArrayType(T.FloatType())),
+        T.StructField("bins", T.ArrayType(T.ByteType())),
         T.StructField("most_specific", T.StringType()),
         T.StructField("final_labels", T.ArrayType(T.StringType())),
     ]
@@ -213,8 +219,8 @@ def link_documents(features: DataFrame, model: LinkingModel) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "probs": list(R),
-                    "bins": list(B),
+                    "probs": list(R.astype(np.float32)),
+                    "bins": list(B.astype(np.int8)),
                     "most_specific": ms,
                     "final_labels": [fl.tolist() for fl in final_lists],
                 }
