@@ -508,6 +508,53 @@ def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (SURVEY §2.3 hub-term hazard): events fact
+    keyed by a deliberately skewed 3-value key, dim exploded k ways,
+    join on (key, salt) — same result as the plain join."""
+    from cello_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.col("user_id").alias("doc_id"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("key"),
+        "value",
+    )
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], "key long, bucket string"
+    )
+    return (
+        salted_join(fact, dim, "key", k=8, salt_from="doc_id")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _r6(F.sum("value")).alias("total"))
+        .orderBy("bucket")
+    )
+
+
+def q_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted per-term aggregation (hub-term skew path) —
+    exact n_mentions must equal the plain groupBy."""
+    from cello_spark.functions.text import tokens
+    from cello_spark.operators.mentions import mention_counts_salted
+
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(tokens("text")).alias("term_id"),
+    ).join(
+        F.broadcast(
+            spark.createDataFrame([(t,) for t in MENTION_DICT], "term_id string")
+        ),
+        "term_id",
+    )
+    return (
+        mention_counts_salted(mentions, n_salts=8)
+        .select("term_id", "n_mentions")
+        .orderBy("term_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity queries (embeddings table)
 # ---------------------------------------------------------------------------
@@ -676,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_min": q_dedup_keep_min,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_mention_counts": q_mention_counts,
+        "q_salted_join": q_salted_join,
+        "q_mention_counts_salted": q_mention_counts_salted,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         # rows-only (engine-specific hash / approximate / non-SQL):
@@ -1097,6 +1146,23 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
             WHERE term IN ('spark','window','join','hash','scan','filter')
             GROUP BY term ORDER BY term
+        """,
+        "q_salted_join": """
+            WITH dim(key, bucket) AS (
+              VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')
+            )
+            SELECT bucket, count(*) AS n, round(sum(value), 6) AS total
+            FROM events e JOIN dim d ON e.event_id % 3 = d.key
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "q_mention_counts_salted": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS term_id FROM documents
+            )
+            SELECT term_id, count(*) AS n_mentions
+            FROM toks
+            WHERE term_id IN ('spark','window','join','hash','scan','filter')
+            GROUP BY term_id ORDER BY term_id
         """,
         "q_cosine_topk": """
             WITH q AS (
