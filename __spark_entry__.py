@@ -414,6 +414,61 @@ def q_positive_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return positive_examples(labels_long, closure).orderBy("item", "label")
 
 
+def _doc_label_probs(spark: SparkSession, sf_dir: str):
+    """Shared derivation for the linking cross-check queries: per-doc
+    per-label probabilities (docs = orders, labels = partkeys under the
+    division DAG) + label-dependent thresholds + the strict closure."""
+    from cello_spark.operators.graph import transitive_closure
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    edges = _part_edges(spark, sf_dir).withColumn("rel", F.lit("is_a"))
+    closure = transitive_closure(edges, rels=("is_a",))
+    probs = (
+        li.filter(F.col("l_orderkey") <= 500)
+        .groupBy(
+            F.col("l_orderkey").alias("doc_id"), F.col("l_partkey").alias("label")
+        )
+        .agg((F.max("l_quantity") / F.lit(60.0)).alias("prob"))
+    )
+    thresholds = part.select(
+        F.col("p_partkey").alias("label"),
+        (F.lit(0.2) + F.pmod(F.col("p_partkey"), F.lit(7)) / F.lit(10.0)).alias(
+            "threshold"
+        ),
+    )
+    return probs, thresholds, closure
+
+
+def q_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (relational face): hierarchy-consistent binarization —
+    bin(doc, label) = min over ancestors∪self of int(prob > threshold).
+    SQL-expressible cross-check of the vectorized linking kernel
+    (reference cello/cello.py:736-797 descendant zeroing)."""
+    from cello_spark.operators.cascade import closure_with_self
+    from cello_spark.operators.linking import binarize_relational
+
+    probs, thresholds, closure = _doc_label_probs(spark, sf_dir)
+    bins = binarize_relational(probs, thresholds, closure_with_self(closure))
+    return bins.orderBy("doc_id", "label")
+
+
+def q_most_specific_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 (relational face): per-doc most-specific positive label with
+    the fixed (prob desc, label asc) tie-break (reference
+    cello/cello.py:865-873 via graph.py:105-135 semantics)."""
+    from cello_spark.operators.cascade import closure_with_self
+    from cello_spark.operators.linking import (
+        binarize_relational,
+        most_specific_relational,
+    )
+
+    probs, thresholds, closure = _doc_label_probs(spark, sf_dir)
+    bins = binarize_relational(probs, thresholds, closure_with_self(closure))
+    scored = probs.join(bins, ["doc_id", "label"])
+    return most_specific_relational(scored, closure, []).orderBy("doc_id")
+
+
 def q_study_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9/J4: per-item sample weight = 1/|study| (study = customer of
     the order)."""
@@ -716,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clr_marginals": q_clr_marginals,
         "q_one_nn": q_one_nn,
         "q_positive_examples": q_positive_examples,
+        "q_binarize": q_binarize,
+        "q_most_specific_doc": q_most_specific_doc,
         "q_study_weights": q_study_weights,
         "q_triple_pr": q_triple_pr,
         "q_text_stats": q_text_stats,
@@ -1048,6 +1105,97 @@ def oracle_sql() -> dict[str, str]:
               FROM labels l JOIN closure c ON l.label = c.descendant
               WHERE c.descendant != c.ancestor
             ) ORDER BY item, label
+        """,
+        "q_binarize": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), nodes AS (
+              SELECT descendant AS n FROM closure
+              UNION SELECT ancestor FROM closure
+            ), cws AS (
+              SELECT descendant, ancestor FROM closure
+              WHERE descendant != ancestor
+              UNION SELECT n AS descendant, n AS ancestor FROM nodes
+            ), probs AS (
+              SELECT l_orderkey AS doc_id, l_partkey AS label,
+                     max(l_quantity) / 60.0 AS prob
+              FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1, 2
+            ), thr AS (
+              SELECT p_partkey AS label,
+                     0.2 + (p_partkey % 7) / 10.0 AS threshold
+              FROM part
+            )
+            SELECT p.doc_id, c.descendant AS label,
+                   min(CASE WHEN p.prob > t.threshold THEN 1 ELSE 0 END) AS bin
+            FROM probs p
+            JOIN thr t ON p.label = t.label
+            JOIN cws c ON p.label = c.ancestor
+            GROUP BY p.doc_id, c.descendant
+            ORDER BY doc_id, label
+        """,
+        "q_most_specific_doc": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), nodes AS (
+              SELECT descendant AS n FROM closure
+              UNION SELECT ancestor FROM closure
+            ), cws AS (
+              SELECT descendant, ancestor FROM closure
+              WHERE descendant != ancestor
+              UNION SELECT n AS descendant, n AS ancestor FROM nodes
+            ), probs AS (
+              SELECT l_orderkey AS doc_id, l_partkey AS label,
+                     max(l_quantity) / 60.0 AS prob
+              FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1, 2
+            ), thr AS (
+              SELECT p_partkey AS label,
+                     0.2 + (p_partkey % 7) / 10.0 AS threshold
+              FROM part
+            ), bins AS (
+              SELECT p.doc_id, c.descendant AS label,
+                     min(CASE WHEN p.prob > t.threshold THEN 1 ELSE 0 END) AS bin
+              FROM probs p
+              JOIN thr t ON p.label = t.label
+              JOIN cws c ON p.label = c.ancestor
+              GROUP BY p.doc_id, c.descendant
+            ), pos AS (
+              SELECT p.doc_id, p.label, p.prob
+              FROM probs p JOIN bins b
+                ON p.doc_id = b.doc_id AND p.label = b.label
+              WHERE b.bin = 1
+            )
+            SELECT doc_id, label AS most_specific FROM (
+              SELECT p.doc_id, p.label,
+                     row_number() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY p.prob DESC, p.label ASC
+                     ) AS rn
+              FROM pos p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos m
+                JOIN closure c ON m.label = c.descendant
+                WHERE m.doc_id = p.doc_id AND c.ancestor = p.label
+                  AND c.descendant != c.ancestor
+              )
+            ) WHERE rn = 1 ORDER BY doc_id
         """,
         "q_study_weights": """
             SELECT o_orderkey AS item,

@@ -1,0 +1,119 @@
+"""Independent verification of the Dykstra hierarchy projection.
+
+Round-1 verdict flagged the reconciliation oracle as CIRCULAR: the
+engine (operators/linking.py) and the numpy oracle (cello_spark/
+oracle.py) both import dykstra_matrix from functions/hierarchy.py, so
+nothing proved the 200-iteration Dykstra output matches the
+reference's actual per-row QP (reference
+cello/models/isotonic_regression.py:119-131: quadprog solve_qp of
+min ||x - p||^2 s.t. x[parent] - x[child] >= 0, one row per
+label-graph edge).
+
+This module breaks the circle with an EXACT, fully independent QP
+solver: brute-force active-set enumeration over the KKT systems.  For
+min 1/2||x - p||^2 s.t. Ax >= 0 (A[k] = e_parent - e_child), every
+candidate active set S gives the equality-constrained solution
+x = p + A_S^T lam with A_S A_S^T lam = -A_S p.  The unique global
+optimum of this strictly convex QP is the candidate that is primal
+feasible (Ax >= -tol) and dual feasible (lam >= -tol).  Enumerating
+all 2^m subsets is exact for the small random instances used here
+(m <= 12 constraints) and shares no code with Dykstra.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from cello_spark.functions.hierarchy import dykstra_matrix
+
+
+def exact_projection_qp(p: np.ndarray, edge_idx: np.ndarray) -> np.ndarray:
+    """Exact Euclidean projection of p onto {x : x[par] >= x[chi]}.
+
+    Active-set enumeration; independent of Dykstra. O(2^m) — test-only.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    m = len(edge_idx)
+    if m == 0:
+        return p.copy()
+    A = np.zeros((m, len(p)))
+    for k, (par, chi) in enumerate(edge_idx):
+        A[k, par] = 1.0
+        A[k, chi] = -1.0
+    if (A @ p >= 0).all():
+        return p.copy()
+    best_x, best_obj = None, np.inf
+    tol = 1e-9
+    for r in range(1, m + 1):
+        for S in itertools.combinations(range(m), r):
+            As = A[list(S)]
+            G = As @ As.T
+            rhs = -As @ p
+            lam, *_ = np.linalg.lstsq(G, rhs, rcond=None)
+            x = p + As.T @ lam
+            if np.abs(As @ x).max() > 1e-8:  # inconsistent active set
+                continue
+            if lam.min() < -tol:  # dual infeasible
+                continue
+            if (A @ x).min() < -1e-8:  # primal infeasible
+                continue
+            obj = float(((x - p) ** 2).sum())
+            if obj < best_obj - 1e-12:
+                best_obj, best_x = obj, x
+    assert best_x is not None, "no feasible KKT point found"
+    return best_x
+
+
+def _random_dag_edges(rng: np.ndarray, n: int, max_edges: int) -> np.ndarray:
+    """Random DAG over labels 0..n-1: edges (parent, child) with
+    parent < child, so acyclicity is by construction (the engine's
+    label graphs are DAGs; index order stands in for topo order)."""
+    cand = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    rng.shuffle(cand)
+    k = int(rng.integers(1, min(max_edges, len(cand)) + 1))
+    return np.asarray(sorted(cand[:k]), dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_dykstra_matches_exact_qp_random_instances(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 8))
+    edge_idx = _random_dag_edges(rng, n, max_edges=10)
+    P = rng.uniform(0.0, 1.0, size=(6, n))
+    got = dykstra_matrix(P, edge_idx)
+    for i in range(len(P)):
+        want = exact_projection_qp(P[i], edge_idx)
+        np.testing.assert_allclose(
+            got[i],
+            want,
+            atol=1e-6,
+            err_msg=f"row {i}: Dykstra != exact QP (seed={seed}, edges={edge_idx.tolist()})",
+        )
+
+
+def test_dykstra_matches_exact_qp_chain_and_diamond():
+    # chain 0 <- 1 <- 2 <- 3 (parent=lower index) with inverted probs:
+    # the classic fully-violated case -> projection is the global mean.
+    chain = np.asarray([(0, 1), (1, 2), (2, 3)], dtype=np.int64)
+    p = np.array([0.1, 0.4, 0.7, 1.0])
+    got = dykstra_matrix(p[None, :], chain)[0]
+    want = exact_projection_qp(p, chain)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(want, np.full(4, p.mean()), atol=1e-9)
+
+    # diamond 0 -> {1,2} -> 3 with a violation only on one branch
+    diamond = np.asarray([(0, 1), (0, 2), (1, 3), (2, 3)], dtype=np.int64)
+    p = np.array([0.9, 0.2, 0.8, 0.6])
+    got = dykstra_matrix(p[None, :], diamond)[0]
+    want = exact_projection_qp(p, diamond)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_exact_qp_feasible_input_is_fixed_point():
+    edge_idx = np.asarray([(0, 1), (1, 2)], dtype=np.int64)
+    p = np.array([0.9, 0.5, 0.1])
+    np.testing.assert_allclose(exact_projection_qp(p, edge_idx), p)
+    np.testing.assert_allclose(dykstra_matrix(p[None, :], edge_idx)[0], p)
