@@ -483,6 +483,32 @@ def q_study_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scale_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 Scale (z-score) through the real fit/transform operators —
+    one map-side moment pass + one broadcast-affine pass (oracle:
+    stddev_pop z-score in SQL)."""
+    from cello_spark.operators.preprocess import fit_scale, transform_features
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.filter(F.col("l_orderkey") <= 2000).select(
+        F.concat_ws(
+            "#", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("doc_id"),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+        ).alias("features"),
+    )
+    out = transform_features(feats, [fit_scale(feats)])
+    return out.select(
+        "doc_id",
+        _r6(F.col("features")[0]).alias("z_quantity"),
+        _r6(F.col("features")[1]).alias("z_price"),
+        _r6(F.col("features")[2]).alias("z_discount"),
+    )
+
+
 def q_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: distributed triple P/R — compare the division-DAG triple set
     against a perturbed variant (every 7th edge dropped, one alien
@@ -774,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_binarize": q_binarize,
         "q_most_specific_doc": q_most_specific_doc,
         "q_study_weights": q_study_weights,
+        "q_scale_transform": q_scale_transform,
         "q_triple_pr": q_triple_pr,
         "q_text_stats": q_text_stats,
         "q_dedup_exact_groups": q_dedup_exact_groups,
@@ -1202,6 +1229,28 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / count(*) OVER (PARTITION BY o_custkey), 6)
                      AS weight
             FROM orders
+        """,
+        "q_scale_transform": """
+            WITH f AS (
+              SELECT l_orderkey || '#' || l_linenumber AS doc_id,
+                     CAST(l_quantity AS DOUBLE) AS a,
+                     CAST(l_extendedprice AS DOUBLE) AS b,
+                     CAST(l_discount AS DOUBLE) AS c
+              FROM lineitem WHERE l_orderkey <= 2000
+            ), s AS (
+              SELECT avg(a) AS ma, stddev_pop(a) AS sa,
+                     avg(b) AS mb, stddev_pop(b) AS sb,
+                     avg(c) AS mc, stddev_pop(c) AS sc
+              FROM f
+            )
+            SELECT doc_id,
+                   round((a - ma) / (CASE WHEN sa = 0 THEN 1 ELSE sa END), 6)
+                     AS z_quantity,
+                   round((b - mb) / (CASE WHEN sb = 0 THEN 1 ELSE sb END), 6)
+                     AS z_price,
+                   round((c - mc) / (CASE WHEN sc = 0 THEN 1 ELSE sc END), 6)
+                     AS z_discount
+            FROM f, s
         """,
         "q_triple_pr": """
             WITH edges AS (

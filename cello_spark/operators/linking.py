@@ -125,6 +125,22 @@ class LinkingModel:
             precision_min=precision_min,
         )
 
+    def with_preprocessors(self, models) -> "LinkingModel":
+        """M10 preprocessor chain, folded: a model fitted in
+        preprocessed space (Scale→PCA, reference model.py:39-91) is
+        back-projected to raw-feature space (W' = W A, b' = W c + b —
+        the general form of isotonic_regression.py:139-163), so
+        `link_documents` scores RAW features with zero extra passes.
+        Exact for linear models; `models` is the ordered fit chain."""
+        from cello_spark.operators.preprocess import back_project
+
+        W2, b2 = back_project(self.W, self.b, models)
+        out = LinkingModel.__new__(LinkingModel)
+        out.__dict__.update(self.__dict__)
+        out.W = W2
+        out.b = b2
+        return out
+
     # ---- pure-numpy batch kernels (also used by tests directly) ----
 
     def score(self, X: np.ndarray) -> np.ndarray:
