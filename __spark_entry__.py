@@ -566,7 +566,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cello_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    # explicit finite shingle-DF cap (mirrored in the oracle SQL):
+    # boilerplate shingles otherwise make the self-join O(df²)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3, max_shingle_df=1000)
     return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
@@ -655,9 +657,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine ≥ 0.5 (brute-force; the IVF-bucketed
-    variant is exposed rows-only below)."""
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-ONLY cross-check: exact all-pairs cosine ≥ 0.5. The plan
+    is a broadcast nested-loop self-join — quadratic, kept strictly as
+    the small-SF ground truth for the bucketed operator. The scale
+    path is q_embedding_near_dup_bucketed (pairs form only within IVF
+    buckets; recall vs THIS query is pytest-gated)."""
     emb = _t(spark, sf_dir, "embeddings")
     l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
@@ -675,6 +680,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only queries (engine-specific hashing / approximate paths):
 # pytest-verified semantics, driver records row-count-only check
 # ---------------------------------------------------------------------------
+
+
+def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: pairs form only inside
+    IVF centroid buckets (self-join quadratic in bucket size, not
+    corpus size). Rows-only at the driver (bucketing is
+    engine-specific); recall ≥ target vs the exact all-pairs query is
+    asserted in tests/test_similarity.py."""
+    from cello_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5, n_centroids=8)
+    return pairs.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,8 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_mention_counts_salted": q_mention_counts_salted,
         "q_cosine_topk": q_cosine_topk,
-        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_embedding_near_dup_exact": q_embedding_near_dup_exact,
         # rows-only (engine-specific hash / approximate / non-SQL):
+        "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_lang_detect": q_lang_detect,
@@ -1320,11 +1339,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(range(1, greatest(len(t) - 1, CASE WHEN len(t) > 0 THEN 2 ELSE 1 END))) AS i
               )
               WHERE len(t) > 0
+            ), capped AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
             ), sizes AS (
-              SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+              SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
             ), pairs AS (
               SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
-              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              FROM capped l
+              JOIN capped r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
               GROUP BY 1, 2
             )
             SELECT a, b,
@@ -1378,7 +1401,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
             FROM ranked WHERE rank <= 5
         """,
-        "q_embedding_near_dup": """
+        "q_embedding_near_dup_exact": """
             SELECT l.vec_id AS a, r.vec_id AS b,
                    round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6)
                      AS cosine

@@ -18,10 +18,23 @@ Embedding near-dup lives in operators/similarity.py (cosine top-k).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from cello_spark.functions.text import fingerprint_md5, tokens as text_tokens
 from cello_spark.partitioning import ensure_min_partitions
+
+_log = logging.getLogger(__name__)
+
+# Default document-frequency cap for shingles entering a self-join.
+# A shingle shared by df docs creates O(df²) candidate pairs; one
+# boilerplate header shared by 10⁶ docs is the classic dedup
+# scale-killer. 5000 keeps the worst bucket at ~25M pairs (one task's
+# worth) and such shingles carry ~no similarity signal anyway. Pass
+# max_shingle_df=None to disable (exact semantics, unsafe at scale);
+# audit what a cap drops with `shingle_df_stats`.
+DEFAULT_MAX_SHINGLE_DF = 5000
 
 
 # ---------------------------------------------------------------------------
@@ -95,18 +108,46 @@ def shingles(
     )
 
 
-def _cap_common_shingles(sh: DataFrame, max_df: int | None) -> DataFrame:
+def _cap_common_shingles(
+    sh: DataFrame, max_df: int | None, op: str = "jaccard"
+) -> DataFrame:
     """Drop shingles occurring in more than max_df docs before any
     self-join — boilerplate shingles otherwise create O(df²) pairs.
-    The cap is logged by callers (no silent truncation at query level:
-    capped shingles are near-useless for similarity anyway, but the
-    parameter is explicit)."""
+    Not silent: the cap is logged at plan time, and `shingle_df_stats`
+    reports exactly which shingles a given cap drops."""
     if max_df is None:
+        _log.warning(
+            "%s: max_shingle_df=None — self-join is unbounded on "
+            "boilerplate shingles; unsafe beyond small scale", op
+        )
         return sh
+    _log.info(
+        "%s: dropping shingles with doc-frequency > %d before the "
+        "self-join (audit with shingle_df_stats)", op, max_df
+    )
     w = Window.partitionBy("shingle")
     return sh.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
         F.col("__df") <= max_df
     ).drop("__df")
+
+
+def shingle_df_stats(
+    df: DataFrame,
+    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Audit the shingle cap: (shingle, df) for every shingle the cap
+    would drop, most frequent first. Run this when tuning
+    max_shingle_df on a new corpus."""
+    return (
+        shingles(df, id_col, text_col, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .orderBy(F.desc("df"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -120,13 +161,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard ≥ threshold.
     Plan: inverted index self-join on shingle → common counts →
     |A∪B| = |A|+|B|-common. Shuffles on shingle (pair generation) and
-    (a,b) (common count) only."""
-    sh = _cap_common_shingles(shingles(df, id_col, text_col, n), max_shingle_df)
+    (a,b) (common count) only. Shingles with doc-frequency above
+    max_shingle_df (finite by default — see DEFAULT_MAX_SHINGLE_DF) are
+    dropped from BOTH the index and the set sizes, so the reported
+    jaccard is over the capped shingle sets (consistent, auditable via
+    shingle_df_stats)."""
+    sh = _cap_common_shingles(
+        shingles(df, id_col, text_col, n), max_shingle_df, op="ngram_jaccard_pairs"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # probe side spread across task slots: pair enumeration explodes
     # |bucket|² rows, which must not run in one coalesced partition
@@ -209,7 +256,9 @@ def minhash_lsh_pairs(
     hashes, immune to content skew."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = _cap_common_shingles(shingles(df, id_col, text_col, n), max_shingle_df)
+    sh = _cap_common_shingles(
+        shingles(df, id_col, text_col, n), max_shingle_df, op="minhash_lsh_pairs"
+    )
     sig = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
     banded = sig.select(
         "doc_id",

@@ -88,6 +88,32 @@ def test_ivf_assignment_deterministic(spark, corpus):
     assert d1 == d2
 
 
+def test_embedding_near_dup_bucketed_recall_vs_bruteforce(spark, corpus, corpus_np):
+    """Recall gate for the scale-path operator (q_embedding_near_dup_
+    bucketed): its pairs must be a subset of the exact all-pairs result
+    (precision 1.0 — cosines are computed exactly) with recall above
+    the IVF single-probe expectation."""
+    thr = 0.5
+    ids, X = corpus_np
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S_mat = Xn @ Xn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu[S_mat[iu, ju] >= thr], ju[S_mat[iu, ju] >= thr])
+    }
+    got = {
+        (r.a, r.b)
+        for r in S.embedding_near_dup_pairs(
+            corpus, threshold=thr, n_centroids=8
+        ).collect()
+    }
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.5, f"recall {recall} over {len(exact)} true pairs"
+
+
 def test_embedding_near_dup_pairs(spark):
     # plant exact duplicates in a small corpus
     base = [([1.0, 0.0, 0.0], 1), ([1.0, 0.001, 0.0], 2), ([0.0, 1.0, 0.0], 3)]
