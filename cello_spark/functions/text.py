@@ -41,6 +41,36 @@ def tokens(col: str | Column = "text") -> Column:
     return F.filter(F.split(folded, " "), lambda t: t != "")
 
 
+# ASCII punctuation folded to spaces in the MENTION path — everything
+# except ( ) + - which are meaningful inside ontology aliases
+# ("cd8+ t cell", "t-cell", "nk cell (human)"): the reference's gene /
+# synonym matching normalizes with [^a-z0-9()+\- ] -> space
+# (cello/cello.py:925-1004 probe normalization). Kept as an explicit
+# literal so `translate` (non-regex, codegen-friendly) can do the fold.
+_MENTION_FOLD = "!\"#$%&'*,./:;<=>?@[\\]^_`{|}~"
+
+
+def mention_tokens(col: str | Column = "text") -> Column:
+    """Tokenizer for the mention-detection path: like `tokens` but
+    additionally folds ASCII punctuation (except ()+-) to spaces, so
+    aliases adjacent to punctuation ('t cell,' / 'monocyte.') still
+    match the alias dictionary. Same regex-free translate+split shape
+    as `tokens` (see its measured rationale); the extra translate is
+    one more codegen'd pass over the string, no regex engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.translate(
+        F.lower(c), "\t\n\r" + _MENTION_FOLD, " " * (3 + len(_MENTION_FOLD))
+    )
+    return F.filter(F.split(folded, " "), lambda t: t != "")
+
+
+def normalize_alias(col: str | Column) -> Column:
+    """Dictionary-side normalization matching `mention_tokens`: apply
+    to alias strings when building alias_dict so both sides of the
+    mention join share one canonical form."""
+    return F.array_join(mention_tokens(col), " ")
+
+
 def token_count_ws(col: str | Column = "text") -> Column:
     """Whitespace token count."""
     return F.size(tokens(col))

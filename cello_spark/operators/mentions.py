@@ -23,9 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from cello_spark.functions.text import tokens as _text_tokens
+from cello_spark.functions.text import mention_tokens as _mention_tokens
 
 MAX_ALIAS_TOKENS = 6
+
+# above this many distinct alias first-tokens the CASE/IN gate's
+# driver-built literal expression gets unwieldy (plan size, codegen
+# limits); switch to the explode + broadcast-join gate
+MAX_CASE_GATE_TOKENS = 10_000
 
 
 def text_spans(documents: DataFrame) -> DataFrame:
@@ -45,10 +50,11 @@ def text_spans(documents: DataFrame) -> DataFrame:
 
 
 def candidate_ngrams(spans: DataFrame, max_n: int = MAX_ALIAS_TOKENS) -> DataFrame:
-    """All 1..max_n token n-grams of each text span, normalized. Fully
-    JVM-side (codegen): split → sequence/transform/slice → explode.
+    """All 1..max_n token n-grams of each text span, normalized with
+    the mention tokenizer (punctuation folded). Fully JVM-side
+    (codegen): split → sequence/transform/slice → explode.
     Output (doc_id, span_idx, offset, ngram)."""
-    toks = spans.withColumn("tokens", _text_tokens("text"))
+    toks = spans.withColumn("tokens", _mention_tokens("text"))
     ngrams = toks.withColumn(
         "ngrams",
         F.expr(
@@ -77,20 +83,32 @@ def detect_mentions(
     alias_dict: DataFrame,  # (alias_norm, term_id) — small, broadcast
     max_n: int | None = None,
     distinct: bool = True,
+    gate: str = "auto",  # "auto" | "case" | "join"
 ) -> DataFrame:
     """Dictionary mention detection. Returns
     (doc_id, span_idx, offset, alias_norm, term_id), distinct per
-    (doc span, term). Two broadcast hash joins — the document side
-    never shuffles:
+    (doc span, term). Text is tokenized with `mention_tokens`
+    (punctuation folded, matching the dictionary-side
+    `normalize_alias`), so aliases adjacent to punctuation match. Two
+    broadcast hash joins — the document side never shuffles:
 
-      1. FIRST-TOKEN GATE: explode tokens with position, broadcast-join
-         against the dictionary's distinct first tokens. Only surviving
-         positions build n-grams — this prunes the candidate space by
+      1. FIRST-TOKEN GATE: only token positions whose token can start
+         an alias build n-grams — this prunes the candidate space by
          the fraction of corpus tokens that can start an alias (the
          dominant cost at scale is n-gram string construction, so the
-         gate is worth ~an order of magnitude on real text).
-      2. n-grams at surviving positions (lengths 1..max alias length,
-         derived from the dictionary) joined against the full alias
+         gate is worth ~an order of magnitude on real text). Two
+         equivalent implementations, chosen by `gate`:
+           "case" — a driver-built CASE/IN literal over the distinct
+             first tokens (Catalyst compiles IN lists to hash-set
+             InSet probes; zero extra operators). Best for ontology
+             dictionaries (10³-10⁴ first tokens).
+           "join" — posexplode tokens, broadcast-join a (first_token,
+             max_len) table. No driver-side literal, so it scales to
+             arbitrarily large dictionaries (10⁵+ aliases, e.g.
+             EFO+DOID+CL+UBERON merged); costs one explode.
+           "auto" — "case" below MAX_CASE_GATE_TOKENS, else "join".
+      2. n-grams at surviving positions (lengths 1..the longest alias
+         starting with that token) joined against the full alias
          dictionary.
     """
     aliases = alias_dict.select("alias_norm", "term_id").collect()
@@ -102,47 +120,80 @@ def detect_mentions(
         )
     if max_n is None:
         max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
-    # gate: per first-token maximum alias length, bucketed so each
-    # bucket is one IN-set test (Catalyst converts IN lists > 10 items
-    # to a hash-set InSet probe) and positions only build n-grams up to
-    # the longest alias that can actually start there — cuts candidate
-    # string construction by the per-token length profile, not the
-    # global max. (For dictionaries with >> 10^4 distinct first tokens,
-    # switch to the explode+broadcast-join form.)
+    # per-first-token maximum alias length: positions only build
+    # n-grams up to the longest alias that can actually start there —
+    # cuts candidate string construction by the per-token length
+    # profile, not the global max
     ft_maxlen: dict[str, int] = {}
     for a in aliases:
         parts = a.alias_norm.split(" ")
         ft_maxlen[parts[0]] = max(ft_maxlen.get(parts[0], 0), len(parts))
-    by_len: dict[int, list[str]] = {}
-    for t, n in ft_maxlen.items():
-        by_len.setdefault(min(n, max_n), []).append(t)
+    if gate == "auto":
+        gate = "case" if len(ft_maxlen) <= MAX_CASE_GATE_TOKENS else "join"
 
-    def _in_lit(toks_: list[str]) -> str:
-        return ", ".join("'" + t.replace("'", "\\'") + "'" for t in sorted(toks_))
-
-    n_cand = "CASE " + " ".join(
-        f"WHEN tok IN ({_in_lit(ts)}) THEN {n}" for n, ts in sorted(by_len.items())
-    ) + " ELSE 0 END"
-    # NB: sequence(1, 0) counts DOWN in Spark — gate on n_cand >= 1
-    ngram_expr = f"""
-        flatten(transform(tokens, (tok, pos) ->
-          if(({n_cand}) >= 1,
-             transform(sequence(1, least({n_cand}, size(tokens) - pos)),
-                       n -> array_join(slice(tokens, pos + 1, n), ' ')),
-             array())))
-    """
     toks = text_spans(documents).select(
         "doc_id",
         "span_idx",
         "offset",
-        _text_tokens("text").alias("tokens"),
+        _mention_tokens("text").alias("tokens"),
     )
-    cands = toks.select(
-        "doc_id",
-        "span_idx",
-        "offset",
-        F.explode(F.expr(ngram_expr)).alias("ngram"),
-    )
+    if gate == "case":
+        by_len: dict[int, list[str]] = {}
+        for t, n in ft_maxlen.items():
+            by_len.setdefault(min(n, max_n), []).append(t)
+
+        def _in_lit(toks_: list[str]) -> str:
+            return ", ".join(
+                "'" + t.replace("'", "\\'") + "'" for t in sorted(toks_)
+            )
+
+        n_cand = "CASE " + " ".join(
+            f"WHEN tok IN ({_in_lit(ts)}) THEN {n}"
+            for n, ts in sorted(by_len.items())
+        ) + " ELSE 0 END"
+        # NB: sequence(1, 0) counts DOWN in Spark — gate on n_cand >= 1
+        ngram_expr = f"""
+            flatten(transform(tokens, (tok, pos) ->
+              if(({n_cand}) >= 1,
+                 transform(sequence(1, least({n_cand}, size(tokens) - pos)),
+                           n -> array_join(slice(tokens, pos + 1, n), ' ')),
+                 array())))
+        """
+        cands = toks.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.explode(F.expr(ngram_expr)).alias("ngram"),
+        )
+    elif gate == "join":
+        gate_df = spark.createDataFrame(
+            sorted((t, min(n, max_n)) for t, n in ft_maxlen.items()),
+            "tok string, n_max int",
+        )
+        tokpos = toks.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            "tokens",
+            F.posexplode("tokens").alias("pos", "tok"),
+        )
+        # inner broadcast join IS the gate: non-starting positions drop
+        cands = (
+            tokpos.join(F.broadcast(gate_df), "tok")
+            .select(
+                "doc_id",
+                "span_idx",
+                "offset",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, least(n_max, size(tokens) - pos)), "
+                        "n -> array_join(slice(tokens, pos + 1, n), ' '))"
+                    )
+                ).alias("ngram"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown gate {gate!r}")
     out = cands.join(
         F.broadcast(alias_dict),
         cands.ngram == alias_dict.alias_norm,

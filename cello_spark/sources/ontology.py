@@ -312,12 +312,15 @@ def alias_dictionary(terms: DataFrame) -> DataFrame:
     names + all synonym strings (the reference probes name_to_ids and
     synonym strings, ontology_graph.py:370-379, :525-541). Output
     (alias_norm, term_id); broadcast side of the mention join."""
-    names = terms.select(
-        F.lower(F.trim(F.col("name"))).alias("alias_norm"), "term_id"
-    )
+    from cello_spark.functions.text import normalize_alias
+
+    # normalize_alias applies the SAME punctuation-folding tokenization
+    # as the document side (functions/text.py mention_tokens) so both
+    # sides of the mention join share one canonical form
+    names = terms.select(normalize_alias(F.col("name")).alias("alias_norm"), "term_id")
     syns = terms.select(
         F.explode_outer("synonyms").alias("s"), "term_id"
-    ).select(F.lower(F.trim(F.col("s.syn_str"))).alias("alias_norm"), "term_id")
+    ).select(normalize_alias(F.col("s.syn_str")).alias("alias_norm"), "term_id")
     return (
         names.unionByName(syns)
         .filter(F.col("alias_norm").isNotNull() & (F.col("alias_norm") != ""))

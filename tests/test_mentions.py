@@ -66,6 +66,75 @@ def test_detect_mentions(spark, onto):
     assert not any(d == "d2" for d, _ in got)
 
 
+def test_detect_mentions_punctuated_text(spark, onto):
+    """Aliases adjacent to punctuation must match: the mention path
+    folds punctuation (except ()+-, meaningful in aliases) to spaces —
+    round-1 ADVICE flagged the regex-free tokenizer's silent recall
+    regression on real text."""
+    rows = [
+        (
+            "p1",
+            [
+                {"kind": "text", "text": "elevated T cell, and B cell.", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": 'counts: "monocyte"; also T cell!', "media_ref": "", "offset": 30},
+            ],
+        ),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    terms = spark.createDataFrame(onto.terms)
+    m = detect_mentions(docs, alias_dictionary(terms))
+    got = {(r.span_idx, r.term_id) for r in m.collect()}
+    assert (0, "CS:0000030") in got  # "T cell," → t cell
+    assert (0, "CS:0000031") in got  # "B cell." → b cell
+    assert (1, "CS:0000033") in got  # '"monocyte";' → monocyte
+    assert (1, "CS:0000030") in got  # "T cell!" → t cell
+
+
+def test_gate_join_equals_gate_case(spark, onto, small_world):
+    """The explode+broadcast-join first-token gate (large-dictionary
+    fallback) must produce exactly the CASE/IN gate's mentions."""
+    docs = spark.createDataFrame(small_world["documents"])
+    terms = spark.createDataFrame(onto.terms)
+    adict = alias_dictionary(terms)
+    a = detect_mentions(docs, adict, gate="case")
+    b = detect_mentions(docs, adict, gate="join")
+    ka = {tuple(r) for r in a.collect()}
+    kb = {tuple(r) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+
+
+def test_gate_join_large_synthetic_dictionary(spark):
+    """10⁵-alias dictionary: the join gate runs without building any
+    driver-side literal, and finds the planted aliases."""
+    import pandas as pd
+
+    n = 100_000
+    adict_pdf = pd.DataFrame(
+        {
+            "alias_norm": [f"syntok{i} marker" for i in range(n)],
+            "term_id": [f"T:{i:06d}" for i in range(n)],
+        }
+    )
+    adict = spark.createDataFrame(adict_pdf)
+    rows = [
+        (
+            "big1",
+            [
+                {
+                    "kind": "text",
+                    "text": "we saw syntok42 marker and syntok99999 marker today",
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        ),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    m = detect_mentions(docs, adict)  # auto → join above 10^4 tokens
+    got = {r.term_id for r in m.collect()}
+    assert got == {"T:000042", "T:099999"}
+
+
 def test_mentions_on_fixture_world(spark, onto, small_world):
     docs = spark.createDataFrame(small_world["documents"])
     terms = spark.createDataFrame(onto.terms)
