@@ -469,6 +469,44 @@ def q_most_specific_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return most_specific_relational(scored, closure, []).orderBy("doc_id")
 
 
+def q_cdc_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3: CDC negative training examples — items carrying ALL direct
+    parents of a label, minus that label's positives (reference
+    cascaded_discriminative_classifiers.py:196-261)."""
+    from cello_spark.operators.graph import transitive_closure
+    from cello_spark.operators.training import cdc_training_sets
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _part_edges(spark, sf_dir)
+    closure = transitive_closure(
+        edges.withColumn("rel", F.lit("is_a")), rels=("is_a",)
+    )
+    labels_long = (
+        li.filter(F.col("l_orderkey") <= 500)
+        .select(F.col("l_orderkey").alias("item"), F.col("l_partkey").alias("label"))
+        .dropDuplicates()
+    )
+    parent_edges = edges.select(
+        F.col("src").alias("child"), F.col("dst").alias("parent")
+    )
+    sets = cdc_training_sets(labels_long, closure, parent_edges)
+    return (
+        sets.filter(F.col("y") == 0).select("item", "label").orderBy("item", "label")
+    )
+
+
+def q_anatomical_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: drop scored rows whose label is a chosen term or any of its
+    closure subterms (reference cello/cello.py:707-733)."""
+    from cello_spark.operators.graph import anatomical_filter
+
+    probs, _, closure = _doc_label_probs(spark, sf_dir)
+    out = anatomical_filter(probs, closure, [1, 2])
+    return out.select(
+        "doc_id", "label", _r6(F.col("prob")).alias("prob")
+    ).orderBy("doc_id", "label")
+
+
 def q_study_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9/J4: per-item sample weight = 1/|study| (study = customer of
     the order)."""
@@ -817,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_positive_examples": q_positive_examples,
         "q_binarize": q_binarize,
         "q_most_specific_doc": q_most_specific_doc,
+        "q_cdc_negatives": q_cdc_negatives,
+        "q_anatomical_filter": q_anatomical_filter,
         "q_study_weights": q_study_weights,
         "q_scale_transform": q_scale_transform,
         "q_triple_pr": q_triple_pr,
@@ -1242,6 +1282,87 @@ def oracle_sql() -> dict[str, str]:
                   AND c.descendant != c.ancestor
               )
             ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "q_cdc_negatives": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), labels AS (
+              SELECT DISTINCT l_orderkey AS item, l_partkey AS label
+              FROM lineitem WHERE l_orderkey <= 500
+            ), ldim AS (
+              SELECT DISTINCT label FROM labels
+            ), pos AS (
+              SELECT DISTINCT item, label FROM (
+                SELECT item, label FROM labels
+                UNION
+                SELECT l.item, c.ancestor AS label
+                FROM labels l JOIN closure c
+                  ON l.label = c.descendant AND c.descendant != c.ancestor
+              ) WHERE label IN (SELECT label FROM ldim)
+            ), parents AS (
+              SELECT DISTINCT e.src AS child, e.dst AS parent FROM edges e
+              WHERE e.src IN (SELECT label FROM ldim)
+            ), npar AS (
+              SELECT child, count(*) AS n FROM parents GROUP BY child
+            ), hits AS (
+              SELECT p.child AS label, l.item,
+                     count(DISTINCT p.parent) AS h
+              FROM parents p JOIN labels l ON l.label = p.parent
+              GROUP BY 1, 2
+            ), negc AS (
+              SELECT h.item, h.label FROM hits h
+              JOIN npar n ON h.label = n.child WHERE h.h = n.n
+            ), roots AS (
+              SELECT label FROM ldim
+              WHERE label NOT IN (SELECT child FROM parents)
+            ), allneg AS (
+              SELECT item, label FROM negc
+              UNION
+              SELECT i.item, r.label
+              FROM (SELECT DISTINCT item FROM labels) i CROSS JOIN roots r
+            )
+            SELECT a.item, a.label FROM allneg a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pos p
+              WHERE p.item = a.item AND p.label = a.label
+            )
+            ORDER BY item, label
+        """,
+        "q_anatomical_filter": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), probs AS (
+              SELECT l_orderkey AS doc_id, l_partkey AS label,
+                     max(l_quantity) / 60.0 AS prob
+              FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1, 2
+            )
+            SELECT p.doc_id, p.label, round(p.prob, 6) AS prob
+            FROM probs p
+            WHERE p.label NOT IN (1, 2)
+              AND NOT EXISTS (
+                SELECT 1 FROM closure c
+                WHERE c.descendant = p.label AND c.ancestor IN (1, 2)
+                  AND c.descendant != c.ancestor
+              )
+            ORDER BY doc_id, label
         """,
         "q_study_weights": """
             SELECT o_orderkey AS item,

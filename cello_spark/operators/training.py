@@ -93,6 +93,87 @@ def negative_examples(
     )
 
 
+def cdc_training_sets(
+    labels_long: DataFrame,  # (item, label)
+    closure: DataFrame,  # strict (descendant, ancestor) over the label DAG
+    parent_edges: DataFrame,  # DIRECT (child, parent) label-graph edges
+    mode: str = "assert_ambiguous_negative",
+) -> DataFrame:
+    """SO3: CDC per-label training sets (reference
+    cascaded_discriminative_classifiers.py:196-261). Output
+    (item, label, y) with y=1 positives, y=0 negatives.
+
+      pos(L) = items carrying L or any descendant (restricted to
+               labels that have items — label_to_items keys);
+      neg(L) = items whose label set contains ALL direct parents of L
+               (the all-parents predicate; roots: every item), minus
+               pos(L);
+      mode="remove_ambiguous" additionally drops negatives whose
+               MOST-SPECIFIC label set contains all direct parents of
+               L (they might be an unresolved L) — reference
+               :253-261. Roots lose all negatives in this mode (the
+               empty parent set is a subset of anything).
+
+    Plan shape: the item side shuffles once per aggregate on
+    (label, item); parent edges and the label dim are broadcast."""
+    label_dim = labels_long.select("label").distinct()
+    item_labels = labels_long.select("item", "label").distinct()
+    pos = positive_examples(labels_long, closure).join(
+        F.broadcast(label_dim), "label", "left_semi"
+    )
+
+    parents = parent_edges.select("child", "parent").dropDuplicates().join(
+        F.broadcast(label_dim.withColumnRenamed("label", "child")),
+        "child",
+        "left_semi",
+    )
+    n_par = parents.groupBy("child").agg(F.count(F.lit(1)).alias("n_parents"))
+    items = labels_long.select("item").distinct()
+
+    def _all_parents_hits(carried: DataFrame) -> DataFrame:
+        """(label=child, item) where `carried`(item,label) covers ALL
+        direct parents of child — join + count == n_parents."""
+        return (
+            carried.join(
+                F.broadcast(parents), carried.label == parents.parent
+            )
+            .groupBy(F.col("child"), F.col("item"))
+            .agg(F.count_distinct(F.col("parent")).alias("hits"))
+            .join(F.broadcast(n_par), "child")
+            .filter(F.col("hits") == F.col("n_parents"))
+            .select(F.col("item"), F.col("child").alias("label"))
+        )
+
+    neg = _all_parents_hits(item_labels)
+    # root labels (no direct parents): the all-parents predicate is
+    # vacuously true — every item qualifies
+    roots = label_dim.join(
+        parents.select(F.col("child").alias("label")), "label", "left_anti"
+    )
+    neg = neg.unionByName(items.crossJoin(F.broadcast(roots)))
+    neg = neg.join(pos, ["item", "label"], "left_anti")
+
+    if mode == "remove_ambiguous":
+        from cello_spark.operators.graph import most_specific_per_group
+
+        ms = most_specific_per_group(
+            closure,
+            labels_long.select(
+                F.col("item").alias("gid"), F.col("label").alias("node")
+            ),
+        ).select(F.col("gid").alias("item"), F.col("node").alias("label"))
+        ambig = _all_parents_hits(ms).unionByName(
+            items.crossJoin(F.broadcast(roots))
+        )
+        neg = neg.join(ambig, ["item", "label"], "left_anti")
+    elif mode != "assert_ambiguous_negative":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    return pos.withColumn("y", F.lit(1)).unionByName(
+        neg.withColumn("y", F.lit(0))
+    )
+
+
 def study_weights(item_study: DataFrame) -> DataFrame:
     """M9/J4 (ensemble_binary_classifiers.py:238-251): per-item sample
     weight 1/|study group|. `item_study` = (item, study). Output

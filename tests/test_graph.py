@@ -156,3 +156,61 @@ def test_connected_components_on_alias_fixture(spark, onto):
         [(r.canonical, r.alias) for r in alias.itertuples(index=False)]
     )
     assert comp == want
+
+
+def test_auto_cutover_preserves_input_types(spark):
+    """Round-1 verdict: the driver-side cutover hardcoded string
+    schemas, so a long-keyed graph flipped result type depending on
+    which side of the cutover it landed. Both paths must now return
+    the INPUT key type."""
+    edges = spark.createDataFrame(
+        [(12, 1, "is_a"), (123, 12, "is_a")], "src long, dst long, rel string"
+    )
+    small = G.transitive_closure_auto(edges)  # driver path
+    big = G.transitive_closure_auto(edges, driver_side_max_edges=0)  # distributed
+    assert dict(small.dtypes) == {"descendant": "bigint", "ancestor": "bigint"}
+    assert dict(big.dtypes) == {"descendant": "bigint", "ancestor": "bigint"}
+    want = {(12, 1), (123, 12), (123, 1)}
+    assert {(r.descendant, r.ancestor) for r in small.collect()} == want
+    assert {(r.descendant, r.ancestor) for r in big.collect()} == want
+
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], "a long, b long")
+    cc_small = G.connected_components_auto(pairs)
+    cc_big = G.connected_components_auto(pairs, driver_side_max_edges=0)
+    assert dict(cc_small.dtypes) == {"node": "bigint", "component": "bigint"}
+    assert dict(cc_big.dtypes) == {"node": "bigint", "component": "bigint"}
+    assert {tuple(r) for r in cc_small.collect()} == {
+        tuple(r) for r in cc_big.collect()
+    }
+
+
+def test_anatomical_filter(spark):
+    """P5 (cello/cello.py:707-733): drop a term and ALL its subterms
+    via the multi-relation closure (is_a + part_of + located_in)."""
+    edges = spark.createDataFrame(
+        [
+            ("hand", "arm", "part_of"),
+            ("finger", "hand", "part_of"),
+            ("thumb", "finger", "is_a"),
+            ("leg", "body", "part_of"),
+            ("arm", "body", "part_of"),
+        ],
+        "src string, dst string, rel string",
+    )
+    closure = G.transitive_closure(edges, rels=("is_a", "part_of", "located_in"))
+    scored = spark.createDataFrame(
+        [("d1", l, 0.9) for l in ["arm", "hand", "finger", "thumb", "leg", "body"]],
+        "doc_id string, label string, prob double",
+    )
+    kept = {
+        r.label
+        for r in G.anatomical_filter(scored, closure, ["arm"]).collect()
+    }
+    # arm AND its subterms (hand, finger, thumb — across mixed rels) drop
+    assert kept == {"leg", "body"}
+    # filtering on a term absent from the closure drops only itself
+    kept2 = {
+        r.label
+        for r in G.anatomical_filter(scored, closure, ["leg"]).collect()
+    }
+    assert kept2 == {"arm", "hand", "finger", "thumb", "body"}

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cello_spark.operators.training import (
+    cdc_training_sets,
     fit_hierarchical_lr,
     most_specific_labels,
     negative_examples,
@@ -92,6 +93,117 @@ def test_negative_examples_oracle(spark):
     # d NOT a negative for i3; c IS a negative for i3
     assert ("i3", "d") not in got
     assert ("i3", "c") in got
+
+
+def _brute_cdc(item_labels, edges, mode):
+    """Driver-side mirror of the reference algorithm
+    (cascaded_discriminative_classifiers.py:196-261), written
+    independently of the Spark plan."""
+    items = {}
+    for i, l in item_labels:
+        items.setdefault(i, set()).add(l)
+    universe = {l for _, l in item_labels}
+    children = {}
+    parents_of = {}
+    for c, p in edges:
+        children.setdefault(p, set()).add(c)
+        parents_of.setdefault(c, set()).add(p)
+
+    def desc(l):
+        out, frontier = set(), set(children.get(l, ()))
+        while frontier:
+            out |= frontier
+            frontier = {g for f in frontier for g in children.get(f, ())} - out
+        return out
+
+    def anc(l):
+        out, frontier = set(), set(parents_of.get(l, ()))
+        while frontier:
+            out |= frontier
+            frontier = {g for f in frontier for g in parents_of.get(f, ())} - out
+        return out
+
+    def ms(labs):
+        return {l for l in labs if not any(o in labs for o in desc(l) if o != l)}
+
+    out = set()
+    for L in universe:
+        pos = {i for i, labs in items.items() if L in labs or (labs & desc(L))}
+        par = parents_of.get(L, set())
+        neg = {i for i, labs in items.items() if par <= labs} - pos
+        if mode == "remove_ambiguous":
+            neg -= {i for i in neg if par <= ms(items[i])}
+        out |= {(i, L, 1) for i in pos} | {(i, L, 0) for i in neg}
+    return out
+
+
+@pytest.mark.parametrize("mode", ["assert_ambiguous_negative", "remove_ambiguous"])
+def test_cdc_training_sets_match_reference_brute_force(spark, mode):
+    # diamond + extra leaf: a <- {b, c}; {b, c} <- d; b <- e
+    edges = [("b", "a"), ("c", "a"), ("d", "b"), ("d", "c"), ("e", "b")]
+    closure = [
+        ("b", "a"), ("c", "a"), ("e", "b"), ("e", "a"),
+        ("d", "b"), ("d", "c"), ("d", "a"),
+    ]
+    item_labels = [
+        ("i1", "d"),
+        ("i2", "b"), ("i2", "c"),
+        ("i3", "b"),
+        ("i4", "a"),
+        ("i5", "e"),
+        ("i6", "a"), ("i6", "b"),
+    ]
+    got = {
+        (r["item"], r["label"], r["y"])
+        for r in cdc_training_sets(
+            spark.createDataFrame(item_labels, "item string, label string"),
+            spark.createDataFrame(closure, "descendant string, ancestor string"),
+            spark.createDataFrame(edges, "child string, parent string"),
+            mode=mode,
+        ).collect()
+    }
+    assert got == _brute_cdc(item_labels, edges, mode)
+    # spot-checks from the hand-derivation (mode-sensitive rows)
+    if mode == "assert_ambiguous_negative":
+        assert ("i4", "b", 0) in got and ("i4", "c", 0) in got
+        assert ("i2", "d", 0) in got
+    else:
+        assert ("i4", "b", 0) not in got  # ms(i4)={a} ⊇ parents(b)
+        assert ("i6", "c", 0) in got  # ms(i6)={b} ⊉ {a}
+
+
+def test_cdc_fit_predict_end_to_end(spark, onto, small_world, label_edges):
+    """SO3 feeds training: CDC pos/neg sets drive fit_hierarchical_lr
+    and the fitted model links documents (fit -> predict closes)."""
+    import pandas as pd
+
+    feats = spark.createDataFrame(small_world["features"]).limit(80)
+    truth = small_world["truth"]
+    edges_df = spark.createDataFrame(label_edges, "child string, parent string")
+    from cello_spark.operators.graph import transitive_closure
+
+    closure_df = transitive_closure(
+        edges_df.select(
+            F.col("child").alias("src"), F.col("parent").alias("dst")
+        ).withColumn("rel", F.lit("is_a")),
+        rels=("is_a",),
+    )
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [(t.doc_id, t.true_label) for t in truth.itertuples(index=False)],
+            columns=["item", "label"],
+        )
+    ).join(feats.select(F.col("doc_id").alias("item")), "item", "left_semi")
+    # ancestor-close the label sets (the reference's exp_to_labels form)
+    labels_long = positive_examples(base, closure_df)
+    sets = cdc_training_sets(labels_long, closure_df, edges_df)
+    # pos/neg are disjoint and both non-empty on the fixture world
+    n_pos = sets.filter("y = 1").count()
+    n_neg = sets.filter("y = 0").count()
+    assert n_pos > 0 and n_neg > 0
+    assert (
+        sets.groupBy("item", "label").count().filter("count > 1").count() == 0
+    )
 
 
 def test_most_specific_labels(spark):
