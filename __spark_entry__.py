@@ -547,6 +547,41 @@ def q_scale_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gene_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 gene matching (cello/cello.py:925-1004): HGNC-symbol dialect
+    — 1:N biomart fan-out broadcast join restricted to the training
+    gene universe (genes synthesized deterministically from part;
+    symbols collide 4:1 to exercise the fan-out)."""
+    from cello_spark.sources.expression import match_genes
+
+    part = _t(spark, sf_dir, "part")
+    meta = part.select(
+        F.concat(
+            F.lit("ENSG"), F.lpad(F.col("p_partkey").cast("string"), 11, "0")
+        ).alias("gene_id"),
+        F.concat(
+            F.lit("SYM"), (F.col("p_partkey") % 500).cast("string")
+        ).alias("symbol"),
+    )
+    train = part.filter(F.col("p_partkey") % 3 != 0).select(
+        F.concat(
+            F.lit("ENSG"), F.lpad(F.col("p_partkey").cast("string"), 11, "0")
+        ).alias("gene_id")
+    )
+    inputs = (
+        part.filter(F.col("p_partkey") % 2 == 0)
+        .select(
+            F.concat(
+                F.lit("SYM"), (F.col("p_partkey") % 500).cast("string")
+            ).alias("gene")
+        )
+        .dropDuplicates()
+    )
+    return match_genes(inputs, meta, train, dialect="HGNC_SYMBOL").orderBy(
+        "gene", "gene_id"
+    )
+
+
 def q_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: distributed triple P/R — compare the division-DAG triple set
     against a perturbed variant (every 7th edge dropped, one alien
@@ -859,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anatomical_filter": q_anatomical_filter,
         "q_study_weights": q_study_weights,
         "q_scale_transform": q_scale_transform,
+        "q_gene_match": q_gene_match,
         "q_triple_pr": q_triple_pr,
         "q_text_stats": q_text_stats,
         "q_dedup_exact_groups": q_dedup_exact_groups,
@@ -1391,6 +1427,27 @@ def oracle_sql() -> dict[str, str]:
                    round((c - mc) / (CASE WHEN sc = 0 THEN 1 ELSE sc END), 6)
                      AS z_discount
             FROM f, s
+        """,
+        "q_gene_match": """
+            WITH meta AS (
+              SELECT 'ENSG' || lpad(CAST(p_partkey AS VARCHAR), 11, '0')
+                       AS gene_id,
+                     'SYM' || CAST(p_partkey % 500 AS VARCHAR) AS symbol
+              FROM part
+            ), train AS (
+              SELECT 'ENSG' || lpad(CAST(p_partkey AS VARCHAR), 11, '0')
+                       AS gene_id
+              FROM part WHERE p_partkey % 3 <> 0
+            ), inputs AS (
+              SELECT DISTINCT 'SYM' || CAST(p_partkey % 500 AS VARCHAR)
+                       AS gene
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT DISTINCT i.gene AS gene, m.gene_id AS gene_id
+            FROM inputs i
+            JOIN meta m ON upper(i.gene) = upper(m.symbol)
+            JOIN train t ON t.gene_id = m.gene_id
+            ORDER BY gene, gene_id
         """,
         "q_triple_pr": """
             WITH edges AS (

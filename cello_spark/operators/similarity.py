@@ -204,8 +204,14 @@ def one_nn(
                 Rn = Rc / (np.linalg.norm(Rc, axis=1, keepdims=True) + 1e-12)
                 D = 1.0 - Xn @ Rn.T
             elif metric_ == "jensen_shannon":
-                # rows treated as distributions (shift nonneg, L1 norm);
-                # JSD(p, q) = H((p+q)/2) - (H(p) + H(q)) / 2
+                # rows treated as distributions (shift nonneg, L1 norm —
+                # a deliberate deviation: the reference's jensen_shannon
+                # (one_nn.py:47-57) assumes inputs already ARE
+                # distributions; _distify makes the metric total on raw
+                # embeddings). Divergence
+                # JSD(p, q) = H((p+q)/2) - (H(p) + H(q)) / 2, emitted as
+                # the JS DISTANCE sqrt(JSD) like the reference; sqrt is
+                # monotone so the argmin neighbor is unaffected.
                 def _distify(A):
                     A = A - A.min(axis=1, keepdims=True)
                     return A / (A.sum(axis=1, keepdims=True) + 1e-12)
@@ -219,6 +225,7 @@ def one_nn(
                 Q_ = _distify(R_)
                 M = 0.5 * (P_[:, None, :] + Q_[None, :, :])
                 D = _H(M) - 0.5 * (_H(P_)[:, None] + _H(Q_)[None, :])
+                D = np.sqrt(np.maximum(D, 0.0))
             else:
                 raise ValueError(f"unknown metric {metric_!r}")
             nn = np.argmin(D, axis=1)  # first (lowest ref idx) on ties

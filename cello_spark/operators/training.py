@@ -177,7 +177,13 @@ def cdc_training_sets(
 def study_weights(item_study: DataFrame) -> DataFrame:
     """M9/J4 (ensemble_binary_classifiers.py:238-251): per-item sample
     weight 1/|study group|. `item_study` = (item, study). Output
-    (item, weight)."""
+    (item, weight).
+
+    Deviation: group sizes are computed over the GLOBAL item set; the
+    reference recomputes |group| within each label's own pos+neg
+    training set. With ambiguous-item exclusion the two differ —
+    `fit_hierarchical_lr` documents and accepts this approximation
+    (per-label group sizes would need an L×|studies| count pass)."""
     sizes = item_study.groupBy("study").agg(F.count(F.lit(1)).alias("n"))
     return item_study.join(F.broadcast(sizes), "study").select(
         "item", (F.lit(1.0) / F.col("n")).alias("weight")
@@ -324,7 +330,14 @@ def fit_hierarchical_lr(
     train = _prep_training_frame(
         features, labels_long, ms_labels_long, item_study
     ).persist()
-    d = len(train.select("features").first()["features"])
+    first = train.select("features").first()
+    if first is None:
+        train.unpersist()
+        raise ValueError(
+            "fit_hierarchical_lr: empty training frame — features ⋈ "
+            "labels produced no rows (check the item keys match)"
+        )
+    d = len(first["features"])
 
     bc_masks = spark.sparkContext.broadcast(
         (pos_of, anc_strict, anc_with_self)
@@ -336,7 +349,7 @@ def fit_hierarchical_lr(
 
         pos_of_, anc_s, anc_ws = bc_masks.value
         Ln = anc_s.shape[0]
-        acc = np.zeros(2 * Ln, dtype=np.float64)
+        acc = np.zeros(4 * Ln, dtype=np.float64)
         seen = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -347,25 +360,39 @@ def fit_hierarchical_lr(
             )
             w = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
             acc[:Ln] += ((y & mask) * w).sum(axis=0)
-            acc[Ln:] += ((~y & mask) * w).sum(axis=0)
+            acc[Ln : 2 * Ln] += ((~y & mask) * w).sum(axis=0)
+            # UNWEIGHTED masked counts: sklearn's
+            # class_weight='balanced' uses plain bincounts over each
+            # label's own pos+neg set, not sample-weighted ones
+            acc[2 * Ln : 3 * Ln] += (y & mask).sum(axis=0)
+            acc[3 * Ln :] += (~y & mask).sum(axis=0)
         if seen:
             pid = TaskContext.get().partitionId()
             yield pd.DataFrame(
                 {"pid": [pid], "kind": ["counts"], "payload": [acc.tolist()]}
             )
 
-    counts = np.zeros(2 * L)
+    counts = np.zeros(4 * L)
     for row in sorted(
         train.mapInPandas(count_pass, _PARTIAL_SCHEMA).collect(),
         key=lambda r: r["pid"],
     ):
         counts += np.asarray(row["payload"])
-    n_pos, n_neg = counts[:L], counts[L:]
+    n_pos, n_neg = counts[:L], counts[L : 2 * L]
+    c_pos, c_neg = counts[2 * L : 3 * L], counts[3 * L :]
     trivial = n_neg <= 0.0
     if balanced:
-        tot = n_pos + n_neg
-        w_pos = np.where(n_pos > 0, tot / (2.0 * np.maximum(n_pos, 1e-12)), 0.0)
-        w_neg = np.where(n_neg > 0, tot / (2.0 * np.maximum(n_neg, 1e-12)), 0.0)
+        # balanced class weights from UNWEIGHTED per-label masked
+        # counts — sklearn semantics (the reference passes
+        # class_weight='balanced' to LogisticRegression,
+        # binary_classifier.py:22-29). Study weights stay a separate
+        # multiplicative sample weight; note they are computed over the
+        # GLOBAL study groups, not each label's pos+neg restriction
+        # (ensemble_binary_classifiers.py:238-251) — a documented
+        # approximation that avoids an L×|studies| count pass
+        tot = c_pos + c_neg
+        w_pos = np.where(c_pos > 0, tot / (2.0 * np.maximum(c_pos, 1e-12)), 0.0)
+        w_neg = np.where(c_neg > 0, tot / (2.0 * np.maximum(c_neg, 1e-12)), 0.0)
     else:
         w_pos = np.ones(L)
         w_neg = np.ones(L)
@@ -440,7 +467,13 @@ def fit_hierarchical_lr(
                 continue
             gl = g[l].copy()
             gl[:-1] += l2 * W[l]
-            delta = np.linalg.solve(H[l] + reg, gl)
+            try:
+                delta = np.linalg.solve(H[l] + reg, gl)
+            except np.linalg.LinAlgError:
+                # perfect separation can drive p(1-p) → 0 and leave the
+                # unregularized bias row singular; least-squares keeps
+                # the step finite instead of crashing the whole fit
+                delta = np.linalg.lstsq(H[l] + reg, gl, rcond=None)[0]
             W[l] -= delta[:-1]
             b[l] -= delta[-1]
         bc_W.destroy()

@@ -263,3 +263,92 @@ def aggregate_expression(
         "gene_id",
         F.log1p(F.col("s") * F.lit(1e6) / F.sum("s").over(w)).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P2 — gene-dialect inference + gene matching (cello/cello.py:925-1004)
+# ---------------------------------------------------------------------------
+
+# The reference probes for HGNC symbols with four well-known genes
+# (cello/cello.py:939-943); dialect names mirror its three branches.
+PROBE_SYMBOLS = ("CD14", "SOX2", "NANOG", "PECAM1")
+
+DIALECT_ENSG = "ENSG"
+DIALECT_ENSG_VERSION = "ENSG_VERSION"
+DIALECT_SYMBOL = "HGNC_SYMBOL"
+
+
+def infer_gene_dialect(
+    input_genes: DataFrame,  # (gene)
+    probe_symbols: tuple[str, ...] = PROBE_SYMBOLS,
+) -> str:
+    """Infer which of the reference's three gene-id dialects the input
+    uses (cello/cello.py:932-990): bare Ensembl ids (ENSGxxxxxxxxxxx),
+    versioned Ensembl ids (ENSGxxxxxxxxxxx.N), or HGNC symbols probed
+    via a small marker set. ONE aggregate over the (small) gene dim —
+    three conditional counts, no collect of the id list."""
+    r = input_genes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("gene").rlike(r"^ENSG\d+$")).alias("n_ensg"),
+        F.count_if(F.col("gene").rlike(r"^ENSG\d+\.\d+$")).alias("n_ver"),
+        F.count_if(
+            F.upper(F.col("gene")).isin(list(probe_symbols))
+        ).alias("n_probe"),
+    ).first()
+    if r["n"] == 0:
+        raise ValueError("infer_gene_dialect: empty gene list")
+    # the reference requires ALL probe symbols present to call it a
+    # symbol matrix (cello.py:939-943 set inclusion)
+    if r["n_probe"] >= len(probe_symbols):
+        return DIALECT_SYMBOL
+    if r["n_ver"] > r["n_ensg"]:
+        return DIALECT_ENSG_VERSION
+    if r["n_ensg"] > 0:
+        return DIALECT_ENSG
+    raise ValueError(
+        "infer_gene_dialect: ids match no known dialect "
+        "(expected ENSG..., ENSG....N, or HGNC symbols incl. "
+        f"{probe_symbols})"
+    )
+
+
+def match_genes(
+    input_genes: DataFrame,  # (gene) — ids in any supported dialect
+    gene_meta: DataFrame,  # (gene_id, symbol) — biomart dim, small
+    train_genes: DataFrame,  # (gene_id) — the model's gene universe
+    dialect: str | None = None,
+) -> DataFrame:
+    """P2 gene matching (cello/cello.py:925-1004): map input gene ids
+    onto the training gene universe. Versioned Ensembl ids are stripped
+    (split('.')[0], cello.py:953); HGNC symbols fan out 1:N to every
+    Ensembl id carrying that symbol via the biomart dim
+    (cello.py:966-988). Output (gene, gene_id) — the input id and the
+    matched training gene — distinct.
+
+    Plan: the gene dims are dictionary-sized (≤~60k rows) so both the
+    symbol fan-out and the training-universe restriction are broadcast
+    joins; nothing here shuffles the big expression table (callers
+    apply the resulting map with `sum_duplicate_genes`)."""
+    if dialect is None:
+        dialect = infer_gene_dialect(input_genes)
+    g = input_genes.select("gene").dropDuplicates()
+    if dialect == DIALECT_ENSG_VERSION:
+        matched = g.select(
+            "gene", F.split(F.col("gene"), r"\.")[0].alias("gene_id")
+        )
+    elif dialect == DIALECT_ENSG:
+        matched = g.select("gene", F.col("gene").alias("gene_id"))
+    elif dialect == DIALECT_SYMBOL:
+        matched = g.join(
+            F.broadcast(
+                gene_meta.select(
+                    F.upper(F.col("symbol")).alias("__sym"), "gene_id"
+                )
+            ),
+            F.upper(F.col("gene")) == F.col("__sym"),
+        ).select("gene", "gene_id")
+    else:
+        raise ValueError(f"match_genes: unknown dialect {dialect!r}")
+    return matched.join(
+        F.broadcast(train_genes.select("gene_id")), "gene_id", "left_semi"
+    ).select("gene", "gene_id").dropDuplicates()

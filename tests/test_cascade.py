@@ -78,8 +78,17 @@ def test_one_nn_euclidean_and_correlation(spark):
                     return -t.sum()
 
                 px = dist(X[i])
-                D = np.array(
-                    [H(0.5 * (px + dist(r))) - 0.5 * (H(px) + H(dist(r))) for r in R]
+                D = np.sqrt(
+                    np.maximum(
+                        np.array(
+                            [
+                                H(0.5 * (px + dist(r)))
+                                - 0.5 * (H(px) + H(dist(r)))
+                                for r in R
+                            ]
+                        ),
+                        0.0,
+                    )
                 )
             j = int(np.argmin(D))
             assert got[i][0] == j, (metric, i)

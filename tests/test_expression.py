@@ -142,3 +142,74 @@ def test_qc_filters(spark):
     assert {r["gene_id"] for r in genes.collect()} == {"g1", "g2", "g3"}
     genes2 = filter_genes(filter_cells(long_df, min_genes=2), min_cells=2)
     assert {r["gene_id"] for r in genes2.collect()} == {"g2", "g3"}
+
+
+def test_gene_dialect_inference_and_matching(spark):
+    """P2 (cello/cello.py:925-1004): three dialects — bare ENSG,
+    versioned ENSG (version stripped), HGNC symbols (probe-set
+    detection + 1:N biomart fan-out) — each restricted to the training
+    gene universe."""
+    from cello_spark.sources.expression import (
+        infer_gene_dialect,
+        match_genes,
+    )
+
+    meta = spark.createDataFrame(
+        [
+            ("ENSG00000001", "CD14"),
+            ("ENSG00000002", "SOX2"),
+            ("ENSG00000003", "NANOG"),
+            ("ENSG00000004", "PECAM1"),
+            ("ENSG00000005", "DUP"),
+            ("ENSG00000006", "DUP"),  # symbol fans out to two ids
+        ],
+        "gene_id string, symbol string",
+    )
+    train = spark.createDataFrame(
+        [(f"ENSG0000000{i}",) for i in range(1, 6)], "gene_id string"
+    )  # ...06 NOT in the training universe
+
+    ensg = spark.createDataFrame(
+        [("ENSG00000001",), ("ENSG00000009",)], "gene string"
+    )
+    assert infer_gene_dialect(ensg) == "ENSG"
+    got = {
+        (r.gene, r.gene_id) for r in match_genes(ensg, meta, train).collect()
+    }
+    assert got == {("ENSG00000001", "ENSG00000001")}  # 09 not in train
+
+    ver = spark.createDataFrame(
+        [("ENSG00000002.7",), ("ENSG00000005.12",)], "gene string"
+    )
+    assert infer_gene_dialect(ver) == "ENSG_VERSION"
+    got = {
+        (r.gene, r.gene_id) for r in match_genes(ver, meta, train).collect()
+    }
+    assert got == {
+        ("ENSG00000002.7", "ENSG00000002"),
+        ("ENSG00000005.12", "ENSG00000005"),
+    }
+
+    sym = spark.createDataFrame(
+        [("CD14",), ("SOX2",), ("NANOG",), ("PECAM1",), ("DUP",), ("NOPE",)],
+        "gene string",
+    )
+    assert infer_gene_dialect(sym) == "HGNC_SYMBOL"
+    got = {
+        (r.gene, r.gene_id) for r in match_genes(sym, meta, train).collect()
+    }
+    # DUP keeps only its in-universe id; NOPE matches nothing
+    assert got == {
+        ("CD14", "ENSG00000001"),
+        ("SOX2", "ENSG00000002"),
+        ("NANOG", "ENSG00000003"),
+        ("PECAM1", "ENSG00000004"),
+        ("DUP", "ENSG00000005"),
+    }
+
+    # missing ONE probe symbol → not a symbol matrix → no dialect
+    partial = spark.createDataFrame(
+        [("CD14",), ("SOX2",), ("NANOG",)], "gene string"
+    )
+    with pytest.raises(ValueError):
+        infer_gene_dialect(partial)

@@ -316,3 +316,39 @@ def test_model_save_load_roundtrip(tmp_path, trained):
         np.stack(back.coef.map(np.asarray)), np.stack(weights.coef.map(np.asarray))
     )
     assert back.is_trivial.tolist() == weights.is_trivial.tolist()
+
+
+def test_fit_empty_training_frame_raises(spark):
+    """Degenerate input: features ⋈ labels empty → clear ValueError,
+    not a TypeError from first() returning None."""
+    features = spark.createDataFrame(
+        [("x1", [0.0, 1.0])], "item string, features array<double>"
+    )
+    labels_long = spark.createDataFrame(
+        [("other", "a")], "item string, label string"
+    )
+    with pytest.raises(ValueError, match="empty training frame"):
+        fit_hierarchical_lr(features, labels_long, [], n_iter=1)
+
+
+def test_fit_perfect_separation_finite(spark):
+    """Perfectly separated 1-D data must not crash on a singular
+    Newton system (unregularized bias row) — the lstsq fallback keeps
+    every step finite, and the fit still separates the classes."""
+    rows = [(f"p{i}", [float(10 + i)]) for i in range(5)] + [
+        (f"n{i}", [float(-10 - i)]) for i in range(5)
+    ]
+    features = spark.createDataFrame(rows, "item string, features array<double>")
+    labels_long = spark.createDataFrame(
+        [(f"p{i}", "pos") for i in range(5)]
+        + [(f"n{i}", "neg") for i in range(5)],
+        "item string, label string",
+    )
+    w = fit_hierarchical_lr(features, labels_long, [], l2=1e-6, n_iter=25)
+    W = np.stack(w.coef.map(np.asarray))
+    b = w.intercept.to_numpy()
+    assert np.isfinite(W).all() and np.isfinite(b).all()
+    row = w[w.label == "pos"].iloc[0]
+    p_pos = 1.0 / (1.0 + np.exp(-(10.0 * row.coef[0] + row.intercept)))
+    p_neg = 1.0 / (1.0 + np.exp(-(-10.0 * row.coef[0] + row.intercept)))
+    assert p_pos > 0.9 and p_neg < 0.1
