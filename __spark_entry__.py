@@ -195,6 +195,30 @@ def q_mean_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hvg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-HVG (new_cello/preprocess/__init__.py:244-266): top-N genes
+    by dispersion over a sparse long matrix (samples = orders, genes =
+    parts, value = quantity), re-sorted by gene id; dense-matrix
+    moments (zeros counted via the full sample count)."""
+    from cello_spark.sources.expression import select_hvg
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    long_df = (
+        li.groupBy(
+            F.col("l_orderkey").alias("sample_id"),
+            F.col("l_partkey").alias("gene_id"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    out = select_hvg(long_df, n_top=50)
+    return out.select(
+        "gene_id",
+        _r6(F.col("mean")).alias("mean_value"),
+        _r6(F.col("var")).alias("var_value"),
+        _r6(F.col("dispersion")).alias("dispersion"),
+    ).orderBy("gene_id")
+
+
 def q_pseudobulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 pseudo-bulk semantics on events: per user expm1 → sum →
     renormalize to 1e6 over the user's total → log1p (the reference's
@@ -716,6 +740,29 @@ def q_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 clustering analog (rows-only; Lloyd iterations are not
+    single-statement SQL — semantics pytest-verified against a numpy
+    oracle in tests/test_clustering.py): deterministic seeded-k-means++
+    KMeans over the embeddings table, summarized per cluster."""
+    from cello_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("item"), F.col("embedding").alias("features")
+    )
+    C = kmeans_fit(feats, k=8, n_iter=10)
+    return (
+        kmeans_assign(feats, C)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("item").alias("min_item"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cello_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -876,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_weights": q_group_weights,
         "q_distinct_ordered": q_distinct_ordered,
         "q_mean_var": q_mean_var,
+        "q_hvg_topn": q_hvg_topn,
         "q_pseudobulk": q_pseudobulk,
         "q_cluster_mapback": q_cluster_mapback,
         "q_sessionize": q_sessionize,
@@ -911,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_lang_detect": q_lang_detect,
         "q_ivf_topk": q_ivf_topk,
+        "q_kmeans_clusters": q_kmeans_clusters,
         "q_media_decode": q_media_decode,
         "q_kg_triples": q_kg_triples,
     }
@@ -1008,6 +1057,35 @@ def oracle_sql() -> dict[str, str]:
                    round(var_samp(value), 6) AS var_value,
                    round(var_samp(value) / (avg(value) + 1e-5), 6) AS dispersion
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_hvg_topn": """
+            WITH long_t AS (
+              SELECT l_orderkey AS sample_id, l_partkey AS gene_id,
+                     SUM(l_quantity) AS value
+              FROM lineitem WHERE l_orderkey <= 2000
+              GROUP BY l_orderkey, l_partkey
+            ), n AS (
+              SELECT CAST(COUNT(DISTINCT sample_id) AS DOUBLE) AS ns
+              FROM long_t
+            ), stats AS (
+              SELECT gene_id,
+                     SUM(value) / ns AS mean,
+                     SUM(value * value) / ns
+                       - (SUM(value) / ns) * (SUM(value) / ns) AS var
+              FROM long_t, n GROUP BY gene_id, ns
+            ), ranked AS (
+              SELECT gene_id, mean, var,
+                     var / (mean + 1e-5) AS dispersion,
+                     row_number() OVER (
+                       ORDER BY var / (mean + 1e-5) DESC, gene_id ASC
+                     ) AS rk
+              FROM stats
+            )
+            SELECT gene_id,
+                   round(mean, 6) AS mean_value,
+                   round(var, 6) AS var_value,
+                   round(dispersion, 6) AS dispersion
+            FROM ranked WHERE rk <= 50 ORDER BY gene_id
         """,
         "q_pseudobulk": """
             WITH per AS (

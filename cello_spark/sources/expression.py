@@ -352,3 +352,51 @@ def match_genes(
     return matched.join(
         F.broadcast(train_genes.select("gene_id")), "gene_id", "left_semi"
     ).select("gene", "gene_id").dropDuplicates()
+
+
+def select_hvg(
+    long_df: DataFrame,  # (sample_id, gene_id, value), zeros omitted
+    n_top: int,
+    n_samples: int | None = None,
+    method: str = "seurat",
+) -> DataFrame:
+    """Highly-variable-gene selection (new_cello/preprocess/
+    __init__.py:244-266): per-gene mean/population-variance over the
+    DENSE matrix (the long table omits zeros, so moments divide by the
+    full sample count), dispersion = var/(mean+1e-5) ('seurat'/
+    'cell_ranger') or raw var ('dispersion'), keep the top-N by
+    dispersion, emit re-sorted by gene id (the reference re-sorts
+    selected columns to original order). Tie-break on equal dispersion
+    is (gene_id asc) — deterministic, unlike numpy argsort[::-1].
+
+    Plan: one groupBy(gene) aggregate (map-side partials) + a single
+    rank window over the GENE DIM (≤~60k rows — one tiny partition,
+    not a scale hazard). Output (gene_id, mean, var, dispersion)."""
+    if method not in ("seurat", "cell_ranger", "dispersion"):
+        raise ValueError(f"select_hvg: unknown method {method!r}")
+    if n_samples is None:
+        n_samples = long_df.select("sample_id").distinct().count()
+    n = float(n_samples)
+    stats = long_df.groupBy("gene_id").agg(
+        (F.sum("value") / n).alias("mean"),
+        (F.sum(F.col("value") * F.col("value")) / n).alias("m2"),
+    )
+    stats = stats.select(
+        "gene_id",
+        "mean",
+        (F.col("m2") - F.col("mean") * F.col("mean")).alias("var"),
+    )
+    if method == "dispersion":
+        disp = F.col("var")
+    else:
+        disp = F.col("var") / (F.col("mean") + F.lit(1e-5))
+    stats = stats.withColumn(
+        "dispersion", F.coalesce(disp, F.lit(0.0))
+    )
+    w = Window.orderBy(F.desc("dispersion"), F.asc("gene_id"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_top)
+        .drop("rank")
+        .orderBy("gene_id")
+    )

@@ -213,3 +213,33 @@ def test_gene_dialect_inference_and_matching(spark):
     )
     with pytest.raises(ValueError):
         infer_gene_dialect(partial)
+
+
+def test_select_hvg_matches_dense_numpy(spark):
+    """HVG top-N (new_cello/preprocess/__init__.py:244-266): moments
+    over the DENSE matrix (long table omits zeros), dispersion =
+    var/(mean+1e-5), top-N, output re-sorted by gene id."""
+    from cello_spark.sources.expression import select_hvg
+
+    rng = np.random.default_rng(9)
+    n_s, n_g = 12, 20
+    M = np.where(rng.random((n_s, n_g)) < 0.5, 0.0, rng.random((n_s, n_g)) * 5)
+    rows = [
+        (f"s{i}", f"g{j:02d}", float(M[i, j]))
+        for i in range(n_s)
+        for j in range(n_g)
+        if M[i, j] != 0.0
+    ]
+    long_df = spark.createDataFrame(
+        rows, "sample_id string, gene_id string, value double"
+    )
+    got = select_hvg(long_df, n_top=5).toPandas()
+    means = M.mean(axis=0)
+    variances = M.var(axis=0)
+    disp = variances / (means + 1e-5)
+    top = sorted(np.argsort(-disp)[:5])
+    assert got.gene_id.tolist() == [f"g{j:02d}" for j in top]
+    np.testing.assert_allclose(
+        got["mean"].to_numpy(), means[top], atol=1e-12
+    )
+    np.testing.assert_allclose(got["var"].to_numpy(), variances[top], atol=1e-12)
