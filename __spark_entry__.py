@@ -381,6 +381,26 @@ def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topological_layers(edges).orderBy("layer", "node")
 
 
+def q_spanning_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: subgraph spanning a sparse node set of the division DAG —
+    BFS-free relational form (most-general roots, upward-closed
+    relevance, three semi-joins)."""
+    from cello_spark.operators.graph import spanning_subgraph, transitive_closure
+
+    edges = _part_edges(spark, sf_dir)
+    closure = transitive_closure(
+        edges.withColumn("rel", F.lit("is_a")), rels=("is_a",)
+    )
+    part = _t(spark, sf_dir, "part")
+    span = part.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+    parent_child = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return spanning_subgraph(parent_child, closure, span).orderBy("src", "dst")
+
+
 def q_clr_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7/J6/A7: cascaded-classifier marginals — exp(Σ log p) over each
     label's ancestors∪self in the division DAG; conditional probs
@@ -933,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": q_connected_components,
         "q_transitive_reduction": q_transitive_reduction,
         "q_topo_layers": q_topo_layers,
+        "q_spanning_subgraph": q_spanning_subgraph,
         "q_clr_marginals": q_clr_marginals,
         "q_one_nn": q_one_nn,
         "q_positive_examples": q_positive_examples,
@@ -1209,6 +1230,44 @@ def oracle_sql() -> dict[str, str]:
               JOIN closure c ON e2.dst = c.descendant AND c.ancestor = e1.dst
               WHERE e2.src = e1.src AND e2.dst != e1.dst
             )
+            ORDER BY src, dst
+        """,
+        "q_spanning_subgraph": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), span AS (
+              SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0
+            ), roots AS (
+              SELECT s.node FROM span s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM closure c JOIN span m ON c.ancestor = m.node
+                WHERE c.descendant = s.node AND m.node <> s.node
+              )
+            ), relevant AS (
+              SELECT node FROM span
+              UNION
+              SELECT c.ancestor AS node
+              FROM closure c JOIN span s ON c.descendant = s.node
+            ), reach AS (
+              SELECT node FROM roots
+              UNION
+              SELECT c.descendant AS node
+              FROM closure c JOIN roots r ON c.ancestor = r.node
+              WHERE c.descendant IN (SELECT node FROM relevant)
+            )
+            SELECT DISTINCT e.dst AS src, e.src AS dst
+            FROM edges e
+            WHERE e.dst IN (SELECT node FROM reach)
+              AND e.src IN (SELECT node FROM relevant)
             ORDER BY src, dst
         """,
         "q_topo_layers": """

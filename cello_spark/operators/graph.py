@@ -388,3 +388,53 @@ def connected_components(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
         if changed.isEmpty():
             break
     return labels
+
+
+def spanning_subgraph(
+    edges: DataFrame,  # (src=parent, dst=child) — label-DAG orientation
+    closure: DataFrame,  # (descendant, ancestor) strict closure
+    span_nodes: DataFrame,  # (node)
+) -> DataFrame:
+    """G8 (reference graph.py:315-341 subgraph_spanning_nodes): the
+    subgraph that spans `span_nodes` — BFS downward from the span set's
+    most-general members, keeping an edge (parent, child) iff the
+    child's descendants-WITH-self intersect the span set.
+
+    Edge orientation here follows the label-DAG convention of the
+    reference walk (source = parent / more general, target = child):
+    `edges` is (parent, child) pairs in columns (src, dst); `closure`
+    is the usual (descendant, ancestor) table.
+
+    Relational reformulation (no iteration): call a node RELEVANT if
+    it is a span node or an ancestor of one. Relevance is
+    upward-closed along any parent→child path that ends in a relevant
+    node, so the reference's BFS-through-relevant-targets reaches
+    exactly (roots ∪ descendants(roots)) ∩ relevant, and the kept
+    edges are those with a reachable parent and a relevant child.
+    Three semi-joins against dictionary-sized node sets — no loop, no
+    shuffle of anything big."""
+    s = span_nodes.select("node").dropDuplicates()
+    roots = most_general(closure, s)
+    # relevant = span ∪ ancestors(span)
+    relevant = s.unionByName(
+        closure.join(
+            s.withColumnRenamed("node", "descendant"), "descendant"
+        ).select(F.col("ancestor").alias("node"))
+    ).dropDuplicates()
+    # reachable = (roots ∪ descendants(roots)) ∩ relevant
+    reach = (
+        roots.unionByName(
+            closure.join(
+                roots.withColumnRenamed("node", "ancestor"), "ancestor"
+            ).select(F.col("descendant").alias("node"))
+        )
+        .dropDuplicates()
+        .join(relevant, "node", "left_semi")
+    )
+    return (
+        edges.select("src", "dst")
+        .dropDuplicates()
+        .join(reach.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(relevant.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )

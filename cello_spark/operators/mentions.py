@@ -216,7 +216,14 @@ def mention_counts_salted(mentions: DataFrame, n_salts: int = 32) -> DataFrame:
     explicit salt additionally splits the *reduce* side, which matters
     when a single key's partials exceed one task — the documented
     hub-term hazard, SURVEY §7.4.) Output (term_id, n_mentions,
-    n_docs_approx)."""
+    n_docs_approx).
+
+    Correctness invariant: summing per-salt approx-distinct doc counts
+    is valid ONLY because the salt is a pure function of doc_id, so
+    each doc's rows land in exactly one salt bucket (disjoint doc
+    sets). The salt is derived INSIDE this function — callers cannot
+    supply their own — which is what enforces the invariant; do not
+    refactor the salt column into a parameter."""
     salted = mentions.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
     )

@@ -183,7 +183,13 @@ def build_kg_pipeline(
 
     def stage_mentions(ctx: dict) -> DataFrame:
         alias_df = spark.createDataFrame(prep["alias_dict"])
-        return detect_mentions(documents, alias_df)
+        # alias_norm is projected out of the materialization: it is
+        # re-derivable (term_id ⋈ alias dictionary) and is the widest
+        # column — at 1M docs it is ~40% of the stage's bytes, and the
+        # write is as expensive as the detection itself
+        return detect_mentions(documents, alias_df).select(
+            "doc_id", "span_idx", "offset", "term_id"
+        )
 
     def stage_linked(ctx: dict) -> DataFrame:
         # mention gate: only docs that mention at least one ontology

@@ -113,33 +113,20 @@ class Pipeline:
             if tiny:
                 rows = self._write_tiny(df, name, sdir, tmp_dir, data_dir)
             else:
-                # lineage piggybacks on the same write: partition id
-                # column is added, written with the data, aggregated
-                # afterwards from the materialized output (one cheap
-                # columnar scan).
-                df.withColumn("__pid", F.spark_partition_id()).write.mode(
-                    "overwrite"
-                ).parquet(tmp_dir)
+                # one write job is the stage's ONLY Spark action: each
+                # task writes one parquet file, so per-partition lineage
+                # (partition id → row count) comes from the file
+                # FOOTERS — a driver-side metadata read, zero extra
+                # jobs, no re-scan of the output. (The previous design
+                # re-read the whole output for a groupBy(__pid) — a
+                # full second pass over stage bytes plus two extra job
+                # round-trips per stage; footers carry the same counts
+                # for free.)
+                df.write.mode("overwrite").parquet(tmp_dir)
                 shutil.rmtree(data_dir, ignore_errors=True)
                 os.makedirs(sdir, exist_ok=True)
                 os.replace(tmp_dir, data_dir)
-                out = self.spark.read.parquet(data_dir)
-                lineage = (
-                    out.groupBy(F.col("__pid").alias("partition_id"))
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .withColumn("stage", F.lit(name))
-                )
-                lineage.write.mode("overwrite").parquet(
-                    os.path.join(sdir, "_lineage")
-                )
-                # row count derived from the lineage aggregate — one
-                # scan serves both metrics (no separate count() action)
-                rows = (
-                    self.spark.read.parquet(os.path.join(sdir, "_lineage"))
-                    .agg(F.sum("rows"))
-                    .collect()[0][0]
-                    or 0
-                )
+                rows = self._write_lineage_from_footers(name, sdir, data_dir)
             wall = time.monotonic() - t0
             ctx[name] = self.spark.read.parquet(data_dir).drop("__pid")
             manifest["stages"][name] = {
@@ -155,6 +142,37 @@ class Pipeline:
                 break
         return results
 
+    def _write_lineage_from_footers(
+        self, name: str, sdir: str, data_dir: str
+    ) -> int:
+        """Per-partition lineage from the parquet footers of the files
+        the write job produced (file part-NNNNN ↔ task partition NNNNN;
+        num_rows lives in the footer metadata). Driver-side only."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pids, counts = [], []
+        for fname in sorted(os.listdir(data_dir)):
+            if not fname.endswith(".parquet") or not fname.startswith("part-"):
+                continue
+            n = pq.ParquetFile(os.path.join(data_dir, fname)).metadata.num_rows
+            pids.append(int(fname.split("-")[1]))
+            counts.append(n)
+        lin_dir = os.path.join(sdir, "_lineage")
+        shutil.rmtree(lin_dir, ignore_errors=True)
+        os.makedirs(lin_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "partition_id": pa.array(pids, pa.int32()),
+                    "rows": pa.array(counts, pa.int64()),
+                    "stage": pa.array([name] * len(pids), pa.string()),
+                }
+            ),
+            os.path.join(lin_dir, "part-00000.parquet"),
+        )
+        return int(sum(counts))
+
     def _write_tiny(self, pdf, name: str, sdir: str, tmp_dir: str, data_dir: str) -> int:
         """Driver-side materialization for tiny stages: pyarrow write
         (no Spark jobs), identical directory layout + lineage schema."""
@@ -162,7 +180,6 @@ class Pipeline:
         import pyarrow.parquet as pq
 
         pdf = pdf.copy()
-        pdf["__pid"] = 0
         os.makedirs(tmp_dir, exist_ok=True)
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),

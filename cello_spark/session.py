@@ -80,8 +80,21 @@ def get_spark(
         # transforms, n-gram building) allocate heavily; measured on
         # this JDK17 build, G1 serializes at high task parallelism
         # (mentions stage: 30s G1 vs 15s ParallelGC at local[32])
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # ParallelGCThreads pinned to 8: the JVM defaults to ~23 GC
+        # threads on a 32-CPU host, which thrash when the (shared) host
+        # cannot actually deliver that many cores — measured on the 1M-
+        # doc pipeline at local[32]: default 73-109s vs pinned-8 60-62s
+        # across interleaved reps, and the pinned runs were the only
+        # low-variance numbers of the day. 8 threads comfortably keep
+        # up with the 48g heap at every local[N] level used here.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+        )
         .config("spark.ui.enabled", "false")
         # worker reuse amortizes the ~1-2s numpy/pandas import per
         # Python worker across the pipeline's mapInPandas stages

@@ -214,3 +214,53 @@ def test_anatomical_filter(spark):
         for r in G.anatomical_filter(scored, closure, ["leg"]).collect()
     }
     assert kept2 == {"arm", "hand", "finger", "thumb", "body"}
+
+
+@settings(max_examples=8, deadline=None)
+@given(_random_dag_strategy(), st.sets(st.integers(0, 9), min_size=1, max_size=5))
+def test_spanning_subgraph_matches_reference_bfs(spark, raw, span_ids):
+    """G8 vs a faithful python translation of the reference's BFS
+    (graph.py:315-341: queue seeded with most_general(span), edge kept
+    iff the target's descendants-with-self hit the span set)."""
+    child_parent = sorted({(f"n{c}", f"n{p}") for c, p in raw})
+    span = {f"n{i}" for i in span_ids}
+
+    # --- reference-faithful oracle (parent -> child orientation) ----
+    kids: dict[str, set[str]] = {}
+    for c, p in child_parent:
+        kids.setdefault(p, set()).add(c)
+
+    def down_with_self(n):
+        seen, q = {n}, [n]
+        while q:
+            x = q.pop()
+            for y in kids.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        return seen
+
+    roots = oracle.most_general_nodes(child_parent, span)
+    q = list(roots)
+    want: set[tuple[str, str]] = set()
+    visited = set(roots)
+    while q:
+        s = q.pop(0)
+        for t in sorted(kids.get(s, ())):
+            if down_with_self(t) & span:
+                want.add((s, t))
+                if t not in visited:
+                    visited.add(t)
+                    q.append(t)
+
+    # --- engine ------------------------------------------------------
+    closure = G.transitive_closure(edges_df(spark, child_parent))
+    parent_child = spark.createDataFrame(
+        [(p, c) for c, p in child_parent], "src string, dst string"
+    )
+    span_df = spark.createDataFrame([(n,) for n in sorted(span)], "node string")
+    got = {
+        (r.src, r.dst)
+        for r in G.spanning_subgraph(parent_child, closure, span_df).collect()
+    }
+    assert got == want
