@@ -243,7 +243,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: bool = True,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH. Candidate pairs = docs

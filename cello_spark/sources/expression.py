@@ -400,3 +400,34 @@ def select_hvg(
         .drop("rank")
         .orderBy("gene_id")
     )
+
+
+def check_compatibility(
+    available_genes: DataFrame,  # (gene_id) — genes present in the data
+    model_genes: list[str],  # the model's feature gene list, in order
+) -> None:
+    """P4 model/data compatibility predicate (cello/cello.py:474-487):
+    every gene the model was trained on must be present in the data.
+    One anti-join count over the (dictionary-sized) gene dims; raises
+    ValueError naming up to 10 missing genes."""
+    spark = available_genes.sparkSession
+    need = spark.createDataFrame(
+        [(g,) for g in model_genes], "gene_id string"
+    )
+    missing = (
+        need.join(
+            available_genes.select("gene_id").dropDuplicates(),
+            "gene_id",
+            "left_anti",
+        )
+        .limit(11)
+        .collect()
+    )
+    if missing:
+        names = [r["gene_id"] for r in missing]
+        more = " …" if len(names) > 10 else ""
+        raise ValueError(
+            f"model/data incompatible: {len(names)}"
+            f"{'+' if len(names) > 10 else ''} model genes missing from "
+            f"the data, e.g. {names[:10]}{more}"
+        )

@@ -243,3 +243,15 @@ def test_select_hvg_matches_dense_numpy(spark):
         got["mean"].to_numpy(), means[top], atol=1e-12
     )
     np.testing.assert_allclose(got["var"].to_numpy(), variances[top], atol=1e-12)
+
+
+def test_check_compatibility(spark):
+    """P4 (cello/cello.py:474-487): model genes ⊆ data genes."""
+    from cello_spark.sources.expression import check_compatibility
+
+    avail = spark.createDataFrame(
+        [("g1",), ("g2",), ("g3",)], "gene_id string"
+    )
+    check_compatibility(avail, ["g1", "g3"])  # no raise
+    with pytest.raises(ValueError, match="missing"):
+        check_compatibility(avail, ["g1", "g9"])
