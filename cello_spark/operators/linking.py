@@ -60,7 +60,20 @@ class LinkingModel:
         qualifier_labels: set[str] = frozenset(),
         precision: np.ndarray | None = None,
         precision_min: float | None = None,
+        reconcile_mode: str = "dykstra",
     ) -> None:
+        if reconcile_mode not in ("dykstra", "none", "clr"):
+            raise ValueError(
+                f"reconcile_mode must be dykstra|none|clr, got {reconcile_mode!r}"
+            )
+        # M11 registry semantics (reference models/model.py:15-22):
+        #   dykstra — IsotonicRegression: ensemble probs projected onto
+        #             the hierarchy (isotonic_regression.py:97-135)
+        #   none    — EnsembleOfBinaryClassifiers: independent probs
+        #   clr     — CascadedDiscriminativeClassifiers: marginal =
+        #             Π conditional probs over ancestors∪self
+        #             (cascaded_discriminative_classifiers.py:147-194)
+        self.reconcile_mode = reconcile_mode
         self.labels = list(labels)
         self.W = np.asarray(W, dtype=np.float64)
         self.b = np.asarray(b, dtype=np.float64)
@@ -104,6 +117,7 @@ class LinkingModel:
         label_edges: list[tuple[str, str]],
         qualifier_labels: set[str] = frozenset(),
         precision_min: float | None = None,
+        reconcile_mode: str = "dykstra",
     ) -> "LinkingModel":
         w = weights_pdf.sort_values("label").reset_index(drop=True)
         labels = w.label.tolist()
@@ -123,6 +137,7 @@ class LinkingModel:
             qualifier_labels=qualifier_labels,
             precision=prec,
             precision_min=precision_min,
+            reconcile_mode=reconcile_mode,
         )
 
     def with_preprocessors(self, models) -> "LinkingModel":
@@ -147,6 +162,16 @@ class LinkingModel:
         return score_matrix(X, self.W, self.b, self.trivial)
 
     def reconcile(self, P: np.ndarray) -> np.ndarray:
+        if self.reconcile_mode == "none":
+            return P
+        if self.reconcile_mode == "clr":
+            # batch kernel of cascade.clr_marginals: log-sum over each
+            # label's ancestors∪self, exact 0 when any factor is 0
+            logP = np.log(np.clip(P, 1e-300, None))
+            A = self.anc_with_self.astype(np.float64)
+            M = np.exp(logP @ A.T)
+            M[(P <= 0) @ A.T > 0] = 0.0
+            return M
         return dykstra_matrix(P, self.edge_idx)
 
     def binarize(self, R: np.ndarray) -> np.ndarray:

@@ -221,10 +221,16 @@ def _batch_y_mask(
     pos_of: dict[str, int],
     anc_strict: np.ndarray,
     anc_with_self: np.ndarray,
+    explicit: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-batch computation of y (positives) and the
     include-mask (positives + unambiguous negatives) — the UDF-side
-    mirror of SO1/SO2, O(rows x L) numpy."""
+    mirror of SO1/SO2, O(rows x L) numpy.
+
+    With explicit=True the two list columns are EXPLICIT per-item
+    positive/negative label sets (e.g. from `cdc_training_sets`):
+    y = membership in the first, mask = union of both — no ancestor
+    lifting or ambiguity inference."""
     n, L = len(label_lists), anc_strict.shape[0]
     lab_ind = np.zeros((n, L), dtype=bool)
     ms_ind = np.zeros((n, L), dtype=bool)
@@ -238,6 +244,8 @@ def _batch_y_mask(
             j = pos_of.get(l)
             if j is not None:
                 ms_ind[i, j] = True
+    if explicit:
+        return lab_ind, lab_ind | ms_ind
     # pos[i, l] = item carries l or any descendant: lift each carried
     # label onto its ancestors-with-self
     y = (lab_ind @ anc_with_self) > 0
@@ -303,10 +311,20 @@ def fit_hierarchical_lr(
     l2: float = 1.0,
     n_iter: int = 8,
     balanced: bool = True,
+    training_sets: DataFrame | None = None,  # (item, label, y) explicit sets
 ) -> pd.DataFrame:
     """Distributed Newton (IRLS) fit of one L2 logistic regression per
     label, all labels at once. Returns a weights frame
     (label, coef, intercept, is_trivial) for `LinkingModel.from_tables`.
+
+    By default per-label positives/negatives follow SO1/SO2 (ancestor
+    lift + ambiguity exclusion, recomputed per Arrow batch from the
+    broadcast masks). Pass `training_sets` = (item, label, y∈{0,1}) to
+    fit on EXPLICIT per-label sets instead (e.g. `cdc_training_sets`
+    for the reference's CDC variant,
+    cascaded_discriminative_classifiers.py:196-261); `labels_long` /
+    `ms_labels_long` are then ignored for set construction and the
+    label universe comes from `training_sets`.
 
     Per iteration: one map-side-only pass over the (cached) training
     frame; each partition ships back L packed (d+1)² Hessian partials +
@@ -314,22 +332,46 @@ def fit_hierarchical_lr(
     id (bit-deterministic), solves L small systems, rebroadcasts W.
     """
     spark = features.sparkSession
+    explicit = training_sets is not None
+    label_src = training_sets if explicit else labels_long
     labels = sorted(
-        r["label"] for r in labels_long.select("label").distinct().collect()
+        r["label"] for r in label_src.select("label").distinct().collect()
     )
     L = len(labels)
     pos_of = {l: i for i, l in enumerate(labels)}
     anc_strict, anc_with_self = _ancestor_masks(labels, label_edges)
 
-    if ms_labels_long is None:
-        # default: most-specific labels = the labels themselves pruned
-        # to leaves of each item's own label set; for ancestor-closed
-        # label sets this equals the reference's exp_to_ms_labels
-        ms_labels_long = most_specific_labels(labels_long, label_edges)
+    if explicit:
+        # one groupBy(item): pos set in `labels`, neg set in
+        # `ms_labels` (collect_set drops the NULLs the CASEs emit)
+        per_item = training_sets.groupBy("item").agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("y") == 1, F.col("label")))
+            ).alias("labels"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("y") == 0, F.col("label")))
+            ).alias("ms_labels"),
+        )
+        train = features.join(per_item, "item")
+        if item_study is not None:
+            train = train.join(study_weights(item_study), "item", "left")
+        else:
+            train = train.withColumn("weight", F.lit(1.0))
+        train = train.select(
+            "item", "features", "labels", "ms_labels",
+            F.coalesce("weight", F.lit(1.0)).alias("weight"),
+        ).persist()
+    else:
+        if ms_labels_long is None:
+            # default: most-specific labels = the labels themselves
+            # pruned to leaves of each item's own label set; for
+            # ancestor-closed label sets this equals the reference's
+            # exp_to_ms_labels
+            ms_labels_long = most_specific_labels(labels_long, label_edges)
 
-    train = _prep_training_frame(
-        features, labels_long, ms_labels_long, item_study
-    ).persist()
+        train = _prep_training_frame(
+            features, labels_long, ms_labels_long, item_study
+        ).persist()
     first = train.select("features").first()
     if first is None:
         train.unpersist()
@@ -340,14 +382,14 @@ def fit_hierarchical_lr(
     d = len(first["features"])
 
     bc_masks = spark.sparkContext.broadcast(
-        (pos_of, anc_strict, anc_with_self)
+        (pos_of, anc_strict, anc_with_self, explicit)
     )
 
     # ---- pass 0: per-label positive/negative weighted counts ----------
     def count_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pos_of_, anc_s, anc_ws = bc_masks.value
+        pos_of_, anc_s, anc_ws, expl = bc_masks.value
         Ln = anc_s.shape[0]
         acc = np.zeros(4 * Ln, dtype=np.float64)
         seen = False
@@ -356,7 +398,7 @@ def fit_hierarchical_lr(
                 continue
             seen = True
             y, mask = _batch_y_mask(
-                pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws
+                pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws, expl
             )
             w = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
             acc[:Ln] += ((y & mask) * w).sum(axis=0)
@@ -411,7 +453,7 @@ def fit_hierarchical_lr(
         ) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
 
-            pos_of_, anc_s, anc_ws = bc_masks.value
+            pos_of_, anc_s, anc_ws, expl = bc_masks.value
             Wl, bl = bc_W.value
             wp, wn = bc_cw.value
             Ln = anc_s.shape[0]
@@ -427,7 +469,7 @@ def fit_hierarchical_lr(
                 )
                 Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
                 y, mask = _batch_y_mask(
-                    pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws
+                    pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws, expl
                 )
                 w_item = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
                 P = sigmoid(X @ Wl.T + bl)
