@@ -47,8 +47,18 @@ onto = make_ontology()
 cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
 documents = spark.read.parquet(cache + "/documents")
 features = spark.read.parquet(cache + "/features")
-# warm the JVM/file cache with a tiny action so T measures the pipeline
-documents.limit(1).count()
+# steady-state warmup: run the SAME pipeline on a small slice first and
+# discard it. This compiles the JIT'd codegen stages, forks+imports the
+# Python workers (spark.python.worker.reuse keeps them), and exercises
+# the broadcast path — one-time session costs a long-lived cluster
+# executor amortizes over many jobs, but which dominate a sub-minute
+# cold-JVM run and would be mismeasured as (anti-)scaling.
+warm_dir = tempfile.mkdtemp(prefix=f"kg_warm_{{cores}}_", dir=shm)
+try:
+    build_kg_pipeline(spark, warm_dir, documents.limit(20_000), features,
+                      onto, make_model_weights(onto), make_thresholds(onto)).run()
+finally:
+    shutil.rmtree(warm_dir, ignore_errors=True)
 workdir = tempfile.mkdtemp(prefix=f"kg_scale_{{cores}}_", dir=shm)
 try:
     pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
