@@ -343,6 +343,25 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
+def q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 (canonical-rule half): per-component canonical id — min
+    member carrying the ontology prefix, else min member (reference
+    xref merge semantics, ontology_graph.py:563-569; distributed rule
+    in plans/kg.py:canonical_mapping, used past the driver cutover).
+    Components here = customer names grouped by nation key, with a
+    prefix that only some nodes carry so both coalesce arms fire."""
+    from cello_spark.plans.kg import canonical_mapping
+
+    cust = _t(spark, sf_dir, "customer")
+    components = cust.select(
+        F.col("c_name").alias("node"),
+        F.col("c_nationkey").alias("component"),
+    )
+    return canonical_mapping(components, term_prefix="Customer#00000001").orderBy(
+        "node"
+    )
+
+
 def _part_edges_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Division DAG plus direct grandparent edges — the grandparent
     edges are path-implied, giving transitive reduction real work."""
@@ -951,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closure": q_closure,
         "q_most_specific": q_most_specific,
         "q_connected_components": q_connected_components,
+        "q_canonical_map": q_canonical_map,
         "q_transitive_reduction": q_transitive_reduction,
         "q_topo_layers": q_topo_layers,
         "q_spanning_subgraph": q_spanning_subgraph,
@@ -1207,6 +1227,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT x AS node, least(x, min(y)) AS component
             FROM reach GROUP BY x ORDER BY node
+        """,
+        "q_canonical_map": """
+            WITH comp AS (
+              SELECT c_name AS node, c_nationkey AS component FROM customer
+            ), ranked AS (
+              SELECT component,
+                     min(CASE WHEN node LIKE 'Customer#00000001%' THEN node END)
+                       AS canon_term,
+                     min(node) AS canon_any
+              FROM comp GROUP BY component
+            )
+            SELECT node, coalesce(canon_term, canon_any) AS canonical
+            FROM comp JOIN ranked USING (component)
+            ORDER BY node
         """,
         "q_transitive_reduction": """
             WITH RECURSIVE e AS (

@@ -55,6 +55,11 @@ def get_spark(
     for k, v in _BLAS_ENV.items():
         os.environ.setdefault(k, v)
 
+    # 24g covers every workload in this repo (broadcast dims are
+    # dict-sized; stage data streams through executors); a smaller
+    # fixed heap keeps the AlwaysPreTouch startup tax low.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -75,25 +80,28 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # throughput GC: interpreted higher-order expressions (lambda
-        # transforms, n-gram building) allocate heavily; measured on
-        # this JDK17 build, G1 serializes at high task parallelism
-        # (mentions stage: 30s G1 vs 15s ParallelGC at local[32])
-        # ParallelGCThreads pinned to 8: the JVM defaults to ~23 GC
-        # threads on a 32-CPU host, which thrash when the (shared) host
-        # cannot actually deliver that many cores — measured on the 1M-
-        # doc pipeline at local[32]: default 73-109s vs pinned-8 60-62s
-        # across interleaved reps, and the pinned runs were the only
-        # low-variance numbers of the day. 8 threads comfortably keep
-        # up with the 48g heap at every local[N] level used here.
+        .config("spark.driver.memory", driver_mem)
+        # -Xms=-Xmx + AlwaysPreTouch: commit and touch the whole heap
+        # at JVM start. Without it the heap grows lazily and every
+        # fresh page costs a guest page fault + hypervisor EPT fault
+        # while ALL allocating task threads contend on the mmap lock —
+        # on this virtualized box that serialized the string-heavy
+        # codegen stages at high parallelism (measured, synthetic
+        # string-allocation job at local[32]: 21.6s lazy-growth vs
+        # 5.8s pre-touched; real mentions stage: 79.7s vs 28.8s). The
+        # earlier round's ParallelGCThreads=8 pin treated the symptom
+        # (GC thrash amid fault storms); with a pre-touched fixed-size
+        # heap, G1/ZGC/sized-ParallelGC all land within noise of each
+        # other, so keep the JDK default G1. Pre-touch cost is a
+        # one-time session startup tax, exactly what a long-lived
+        # cluster executor amortizes.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+            f"-XX:+UseG1GC -XX:+AlwaysPreTouch -Xms{driver_mem}",
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+            "-XX:+UseG1GC -XX:+AlwaysPreTouch",
         )
         .config("spark.ui.enabled", "false")
         # worker reuse amortizes the ~1-2s numpy/pandas import per

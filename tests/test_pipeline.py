@@ -138,3 +138,34 @@ def test_triples_bucketed_write(spark, pipe, tmp_path):
     back = spark.read.parquet(out)
     assert back.select("bucket").distinct().count() <= 8
     assert back.count() == pipe.output("triples").count()
+
+
+def test_canonical_mapping_distributed_rule(spark):
+    """plans.kg.canonical_mapping (the past-driver-cutover variant)
+    applies the same canonical rule as the driver path: per component,
+    min member with the ontology prefix, else min member."""
+    from cello_spark.plans.kg import canonical_mapping
+
+    components = spark.createDataFrame(
+        [
+            # component 1: two prefixed terms + an alias → min prefixed
+            ("CS:0002", 1),
+            ("CS:0001", 1),
+            ("t cell", 1),
+            # component 2: aliases only → min member
+            ("zeta", 2),
+            ("alpha", 2),
+        ],
+        "node string, component int",
+    )
+    got = {
+        r.node: r.canonical
+        for r in canonical_mapping(components, term_prefix="CS:").collect()
+    }
+    assert got == {
+        "CS:0002": "CS:0001",
+        "CS:0001": "CS:0001",
+        "t cell": "CS:0001",
+        "zeta": "alpha",
+        "alpha": "alpha",
+    }

@@ -70,22 +70,28 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name, code in (("alu", ALU), ("numpy_dykstra", NUMPY)):
         agg = {}
-        for n in (1, 8, 16, 32):
+        for n in (1, 4, 8, 16, 32):
             agg[n] = round(run_pinned(code, n), 3)
             print(f"{name} x{n}: {agg[n]:.2f} units/s aggregate", flush=True)
         eff = agg[32] / agg[8] / 4.0
-        out[name] = {"aggregate_per_sec": agg, "eff_8_to_32": round(eff, 3)}
+        eff14 = agg[4] / agg[1] / 4.0
+        out[name] = {
+            "aggregate_per_sec": agg,
+            "eff_8_to_32": round(eff, 3),
+            "eff_1_to_4": round(eff14, 3),
+        }
         print(f"{name} 8→32 envelope efficiency: {eff:.3f}")
+        print(f"{name} 1→4 envelope efficiency: {eff14:.3f}")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "cpu_envelope.json"), "w") as f:
         json.dump(out, f, indent=2)
-    print("\n| probe | 1 | 8 | 16 | 32 | eff(8→32) |")
-    print("|---|---|---|---|---|---|")
+    print("\n| probe | 1 | 4 | 8 | 16 | 32 | eff(1→4) | eff(8→32) |")
+    print("|---|---|---|---|---|---|---|---|")
     for name, r in out.items():
         a = r["aggregate_per_sec"]
         print(
-            f"| {name} | {a[1]} | {a[8]} | {a[16]} | {a[32]} "
-            f"| {r['eff_8_to_32']} |"
+            f"| {name} | {a[1]} | {a[4]} | {a[8]} | {a[16]} | {a[32]} "
+            f"| {r['eff_1_to_4']} | {r['eff_8_to_32']} |"
         )
 
 

