@@ -532,6 +532,35 @@ def q_most_specific_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return most_specific_relational(scored, closure, []).orderBy("doc_id")
 
 
+def q_typing_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational face of the pipeline's typing-triple emission:
+    (doc, rdf:type, label) for the most-specific positive label AND
+    all its ancestors (the reference's ancestor-filled final binary,
+    cello/cello.py:875-891; engine path operators/linking.py
+    typing_triples over the kernel's final_labels)."""
+    from cello_spark.operators.cascade import closure_with_self
+    from cello_spark.operators.linking import (
+        binarize_relational,
+        most_specific_relational,
+    )
+
+    probs, thresholds, closure = _doc_label_probs(spark, sf_dir)
+    bins = binarize_relational(probs, thresholds, closure_with_self(closure))
+    scored = probs.join(bins, ["doc_id", "label"])
+    ms = most_specific_relational(scored, closure, [])
+    cws = closure_with_self(closure)
+    return (
+        ms.join(cws, ms.most_specific == cws.descendant)
+        .select(
+            F.col("doc_id").cast("string").alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.col("ancestor").cast("string").alias("obj"),
+        )
+        .dropDuplicates()
+        .orderBy("subj", "obj")
+    )
+
+
 def q_cdc_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO3: CDC negative training examples — items carrying ALL direct
     parents of a label, minus that label's positives (reference
@@ -979,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_positive_examples": q_positive_examples,
         "q_binarize": q_binarize,
         "q_most_specific_doc": q_most_specific_doc,
+        "q_typing_triples": q_typing_triples,
         "q_cdc_negatives": q_cdc_negatives,
         "q_anatomical_filter": q_anatomical_filter,
         "q_study_weights": q_study_weights,
@@ -1489,6 +1519,67 @@ def oracle_sql() -> dict[str, str]:
                   AND c.descendant != c.ancestor
               )
             ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "q_typing_triples": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), nodes AS (
+              SELECT descendant AS n FROM closure
+              UNION SELECT ancestor FROM closure
+            ), cws AS (
+              SELECT descendant, ancestor FROM closure
+              WHERE descendant != ancestor
+              UNION SELECT n AS descendant, n AS ancestor FROM nodes
+            ), probs AS (
+              SELECT l_orderkey AS doc_id, l_partkey AS label,
+                     max(l_quantity) / 60.0 AS prob
+              FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1, 2
+            ), thr AS (
+              SELECT p_partkey AS label,
+                     0.2 + (p_partkey % 7) / 10.0 AS threshold
+              FROM part
+            ), bins AS (
+              SELECT p.doc_id, c.descendant AS label,
+                     min(CASE WHEN p.prob > t.threshold THEN 1 ELSE 0 END) AS bin
+              FROM probs p
+              JOIN thr t ON p.label = t.label
+              JOIN cws c ON p.label = c.ancestor
+              GROUP BY p.doc_id, c.descendant
+            ), pos AS (
+              SELECT p.doc_id, p.label, p.prob
+              FROM probs p JOIN bins b
+                ON p.doc_id = b.doc_id AND p.label = b.label
+              WHERE b.bin = 1
+            ), ms AS (
+              SELECT doc_id, label AS most_specific FROM (
+                SELECT p.doc_id, p.label,
+                       row_number() OVER (
+                         PARTITION BY p.doc_id
+                         ORDER BY p.prob DESC, p.label ASC
+                       ) AS rn
+                FROM pos p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM pos m
+                  JOIN closure c ON m.label = c.descendant
+                  WHERE m.doc_id = p.doc_id AND c.ancestor = p.label
+                    AND c.descendant != c.ancestor
+                )
+              ) WHERE rn = 1
+            )
+            SELECT DISTINCT CAST(ms.doc_id AS VARCHAR) AS subj,
+                   'rdf:type' AS pred,
+                   CAST(c.ancestor AS VARCHAR) AS obj
+            FROM ms JOIN cws c ON ms.most_specific = c.descendant
+            ORDER BY subj, obj
         """,
         "q_cdc_negatives": """
             WITH RECURSIVE edges AS (
