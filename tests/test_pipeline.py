@@ -169,3 +169,48 @@ def test_canonical_mapping_distributed_rule(spark):
         "zeta": "alpha",
         "alpha": "alpha",
     }
+
+
+def test_canonicalization_driver_vs_distributed_parity(spark):
+    """The pipeline's driver-side canonicalization (prepare_ontology:
+    oracle.connected_components + min-prefixed-member rule) and the
+    distributed path (operators.graph.connected_components +
+    plans.kg.canonical_mapping) must agree on random alias graphs —
+    the cutover between them is size-based, so a divergence would make
+    results depend on dictionary size."""
+    import random
+
+    from cello_spark import oracle
+    from cello_spark.operators.graph import connected_components
+    from cello_spark.plans.kg import canonical_mapping
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = [f"CS:{i:04d}" for i in range(12)] + [
+            f"alias {i}" for i in range(18)
+        ]
+        pairs = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+
+        # driver path (mirrors prepare_ontology)
+        comp = oracle.connected_components(pairs)
+        members: dict[str, list[str]] = {}
+        for node, c in comp.items():
+            members.setdefault(c, []).append(node)
+        want = {}
+        for c, ns in members.items():
+            terms = sorted(n for n in ns if n.startswith("CS:"))
+            canonical = terms[0] if terms else min(ns)
+            want.update({n: canonical for n in ns})
+
+        # distributed path
+        pairs_df = spark.createDataFrame(pairs, "a string, b string")
+        got = {
+            r.node: r.canonical
+            for r in canonical_mapping(
+                connected_components(pairs_df), term_prefix="CS:"
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
