@@ -112,6 +112,17 @@ def main() -> None:
 
     spark = get_spark(app_name="cello_spark_bench", cores=cores)
     qs = E.queries()
+    # steady-state warmup (same rationale as tools/bench_scaling.py):
+    # touch every input table once so the first timed query measures
+    # the query, not JVM tiering + parquet footer reads + page-cache
+    # population — one-time session costs a long-lived cluster
+    # amortizes across jobs.
+    for t in ("lineitem", "orders", "part", "customer", "supplier",
+              "nation", "region", "events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -257,6 +257,26 @@ def _write_md(s: dict) -> None:
            if envelope_eff(*p['levels']) else "")
         for p in s["pairs"]
     )
+    ds_path = os.path.join(REPO, "BENCH", "datasize.json")
+    datasize_para = ""
+    if os.path.exists(ds_path):
+        with open(ds_path) as f:
+            ds = json.load(f)
+        ratios = [
+            v["throughput_vs_smallest"] for v in ds["sizes"].values()
+        ]
+        sizes_str = "/".join(
+            f"{int(n) // 1_000_000}M" for n in sorted(ds["sizes"], key=int)
+        )
+        datasize_para = (
+            f"Data-size (weak) scaling: `tools/bench_datasize.py` "
+            f"(`BENCH/datasize.json`) runs the same job at fixed "
+            f"local[{ds['cores']}] over {sizes_str} docs — best-of-"
+            f"interleaved throughput stays within "
+            f"{min(ratios):.2f}-{max(ratios):.2f}x of the smallest "
+            f"size, i.e. no per-job cost grows faster than the input "
+            f"(the ontology broadcast is the only global state).\n\n"
+        )
     md = f"""# BENCH/BASELINE.md — throughput & scaling evidence
 
 Job: full KG-construction pipeline (ontology ingest → closure →
@@ -285,7 +305,7 @@ deflates every speedup it anchors.
 
 {reading_rows}
 
-Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
+{datasize_para}Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
 (`BENCH/local_cluster.json`) runs the same job on one vs four REAL
 executor JVMs (`local-cluster[1,8]` vs `local-cluster[4,8]`) — the
 literal N-vs-4N-executors shape with cross-JVM shuffle and shipped
