@@ -503,6 +503,25 @@ def _doc_label_probs(spark: SparkSession, sf_dir: str):
     return probs, thresholds, closure
 
 
+def q_normalize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Units normalization, COUNTS path (reference
+    cello_predict.py:231-237 / scanpy normalize_total+log1p): per-sample
+    CPM scale then log1p. Samples = orders, genes = parts,
+    counts = quantities."""
+    from cello_spark.sources.expression import COUNTS_UNITS, normalize_units
+
+    li = _t(spark, sf_dir, "lineitem")
+    long_df = li.filter(F.col("l_orderkey") <= 300).select(
+        F.col("l_orderkey").cast("string").alias("sample_id"),
+        F.col("l_partkey").cast("string").alias("gene_id"),
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    out = normalize_units(long_df, COUNTS_UNITS)
+    return out.select(
+        "sample_id", "gene_id", _r6(F.col("value")).alias("log_cpm")
+    ).orderBy("sample_id", "gene_id", "log_cpm")
+
+
 def q_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 (relational face): hierarchy-consistent binarization —
     bin(doc, label) = min over ancestors∪self of int(prob > threshold).
@@ -1006,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clr_marginals": q_clr_marginals,
         "q_one_nn": q_one_nn,
         "q_positive_examples": q_positive_examples,
+        "q_normalize_counts": q_normalize_counts,
         "q_binarize": q_binarize,
         "q_most_specific_doc": q_most_specific_doc,
         "q_typing_triples": q_typing_triples,
@@ -1428,6 +1448,16 @@ def oracle_sql() -> dict[str, str]:
               FROM labels l JOIN closure c ON l.label = c.descendant
               WHERE c.descendant != c.ancestor
             ) ORDER BY item, label
+        """,
+        "q_normalize_counts": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS sample_id,
+                   CAST(l_partkey AS VARCHAR) AS gene_id,
+                   round(ln(1 + l_quantity /
+                         sum(l_quantity) OVER (PARTITION BY l_orderkey)
+                         * 1e6), 6) AS log_cpm
+            FROM lineitem
+            WHERE l_orderkey <= 300
+            ORDER BY sample_id, gene_id, log_cpm
         """,
         "q_binarize": """
             WITH RECURSIVE edges AS (

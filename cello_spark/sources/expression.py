@@ -431,3 +431,110 @@ def check_compatibility(
             f"{'+' if len(names) > 10 else ''} model genes missing from "
             f"the data, e.g. {names[:10]}{more}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Units normalization + model-order feature assembly (predict-path prep)
+# ---------------------------------------------------------------------------
+
+COUNTS_UNITS = "COUNTS"
+CPM_UNITS = "CPM"
+LOG1_CPM_UNITS = "LOG1_CPM"
+TPM_UNITS = "TPM"
+LOG1_TPM_UNITS = "LOG1_TPM"
+FULL_LENGTH_ASSAY = "FULL_LENGTH"
+THREE_PRIME_ASSAY = "3_PRIME"
+
+_ALL_UNITS = {COUNTS_UNITS, CPM_UNITS, LOG1_CPM_UNITS, TPM_UNITS, LOG1_TPM_UNITS}
+
+
+def normalize_units(
+    long_df: DataFrame,  # (sample_id, gene_id, value)
+    units: str,
+    assay: str = THREE_PRIME_ASSAY,
+) -> DataFrame:
+    """Bring expression into the canonical log(TPM+1) (reference
+    UNITS = "log_tpm", cello/cello.py:41; conversion rules
+    cello_predict.py:224-237):
+
+    - COUNTS    → per-sample total-normalize to 1e6, then log1p
+                  (scanpy normalize_total + log1p equivalent)
+    - CPM / TPM → log1p
+    - LOG1_CPM / LOG1_TPM → passthrough
+    - FULL_LENGTH assay rejects count-based units (the reference
+      exits: full-length reads need gene-length-aware TPM upstream)
+
+    Scale shape: the COUNTS path is ONE hash-partial-aggregated
+    groupBy(sample_id) for the totals joined back (no window sort);
+    every other path is a map-only expression.
+    """
+    if units not in _ALL_UNITS:
+        raise ValueError(f"unknown units {units!r} (one of {sorted(_ALL_UNITS)})")
+    if assay == FULL_LENGTH_ASSAY and units in {
+        COUNTS_UNITS,
+        CPM_UNITS,
+        LOG1_CPM_UNITS,
+    }:
+        raise ValueError(
+            f"units {units} invalid for {assay} assay: full-length reads "
+            "need gene-length-aware TPM (LOG1_TPM or TPM) computed upstream"
+        )
+    if units == COUNTS_UNITS:
+        totals = long_df.groupBy("sample_id").agg(
+            F.sum("value").alias("__total")
+        )
+        return (
+            long_df.join(totals, "sample_id")
+            .withColumn(
+                "value",
+                F.log1p(F.col("value") / F.col("__total") * F.lit(1e6)),
+            )
+            .drop("__total")
+        )
+    if units in {CPM_UNITS, TPM_UNITS}:
+        return long_df.withColumn("value", F.log1p(F.col("value")))
+    return long_df
+
+
+def features_vector(
+    long_df: DataFrame,  # (sample_id, gene_id, value)
+    features: list[str],
+) -> DataFrame:
+    """P1 feature projection/reorder (cello/cello.py:517-519): assemble
+    the model's gene columns IN MODEL ORDER into one dense array per
+    sample; genes absent from a sample contribute 0.0 (the dense-matrix
+    semantics of the reference's AnnData slice).
+
+    Plan: broadcast (gene → position) dim join prunes non-model genes,
+    then ONE groupBy(sample) builds a position→value map and a codegen
+    `transform(sequence(...))` densifies it — no pivot, no UDF, and
+    the wide side never shuffles more than once.
+    Output (doc_id, features array<double>) — ready for
+    link_documents / KGModel.predict.
+    """
+    spark = long_df.sparkSession
+    n = len(features)
+    pos_df = spark.createDataFrame(
+        [(g, i) for i, g in enumerate(features)], "gene_id string, __pos int"
+    )
+    kv = (
+        long_df.join(F.broadcast(pos_df), "gene_id")
+        # duplicate (sample, gene) rows sum, matching the reference's
+        # dense-matrix accumulation (and map_from_entries rejects
+        # duplicate keys); partial aggregation makes the extra groupBy
+        # map-side cheap
+        .groupBy("sample_id", "__pos")
+        .agg(F.sum("value").alias("value"))
+        .groupBy("sample_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__pos", "value"))
+            ).alias("__kv")
+        )
+    )
+    return kv.select(
+        F.col("sample_id").alias("doc_id"),
+        F.expr(
+            f"transform(sequence(0, {n - 1}), i -> coalesce(__kv[i], 0.0d))"
+        ).alias("features"),
+    )
