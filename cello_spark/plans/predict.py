@@ -85,3 +85,25 @@ def predict_expression(
         "binary": binary,
         "most_specific": most_specific,
     }
+
+
+def write_outputs(
+    outputs: dict[str, DataFrame],
+    out_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """S13 sink for the predict flow (cello_predict.py:196-207 writes
+    probability.tsv / binary.tsv / most_specific.tsv). `fmt="tsv"`
+    mirrors the reference's files (header, tab-separated, distributed
+    write — one file per partition, as a 10^12-doc output must be);
+    `fmt="parquet"` is the scale-native default."""
+    if fmt not in ("parquet", "tsv"):
+        raise ValueError(f"fmt must be parquet|tsv, got {fmt!r}")
+    for name, df in outputs.items():
+        path = f"{out_dir}/{name}"
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(path)
+        else:
+            df.write.mode("overwrite").option("sep", "\t").option(
+                "header", "true"
+            ).csv(path)

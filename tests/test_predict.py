@@ -172,3 +172,34 @@ def test_predict_expression_rename_and_strict_gate(
             features=genes + ["gene_not_present"],
             units=TPM_UNITS,
         )
+
+
+def test_write_outputs_roundtrip(spark, small_world, label_edges, tmp_path):
+    from cello_spark.plans.predict import predict_expression, write_outputs
+
+    model = LinkingModel.from_tables(
+        small_world["weights"], small_world["thresholds"], label_edges
+    )
+    feats_pdf = small_world["features"].iloc[:10]
+    genes = [f"g{i:03d}" for i in range(len(feats_pdf.features.iloc[0]))]
+    rows = [
+        (r.doc_id, genes[i], float(np.expm1(v)))
+        for r in feats_pdf.itertuples(index=False)
+        for i, v in enumerate(r.features)
+    ]
+    out = predict_expression(
+        _long_df(spark, rows), model, features=genes, units=TPM_UNITS
+    )
+    for fmt in ("parquet", "tsv"):
+        d = str(tmp_path / fmt)
+        write_outputs(out, d, fmt=fmt)
+        if fmt == "parquet":
+            back = spark.read.parquet(d + "/probability")
+        else:
+            back = spark.read.option("sep", "\t").option(
+                "header", "true"
+            ).csv(d + "/probability")
+        assert back.count() == out["probability"].count()
+        assert set(back.columns) == {"doc_id", "label", "prob"}
+    with pytest.raises(ValueError, match="fmt"):
+        write_outputs(out, str(tmp_path / "x"), fmt="xlsx")
