@@ -993,6 +993,133 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.output("triples").orderBy("subj", "pred", "obj")
 
 
+# q_kg_chain constants: a small alias dictionary mapping document
+# tokens to labels at different depths of the part-division DAG
+# (1 is the root; 11/12 mid-level; 111/112/121 leaves — all present
+# from sf0.001 up), one two-token alias to exercise n-gram matching,
+# and xref pairs that merge label nodes across components so the
+# canonical rewrite has real work (112→111, 121→12).
+KG_CHAIN_ALIASES = [
+    ("spark", "111"),
+    ("window", "11"),
+    ("hash join", "112"),
+    ("scan", "12"),
+    ("filter", "121"),
+    ("table", "1"),
+]
+KG_CHAIN_XREFS = [
+    ("111", "xref:a"),
+    ("112", "xref:a"),
+    ("12", "xref:b"),
+    ("121", "xref:b"),
+]
+
+
+def q_kg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end relational face of the KG-construction pipeline
+    (plans/kg.py) over the SF tables, DuckDB-oracle-checked as ONE
+    chain: span-structured dictionary mention detection
+    (operators/mentions.py detect_mentions — first-token gate +
+    n-gram broadcast join), mention-count scoring, hierarchy-consistent
+    binarization (binarize_relational; reference cello/cello.py:736-797),
+    most-specific selection with the fixed (prob desc, label asc)
+    tie-break (:800-919), ancestor-filled typing triples (:875-891),
+    ontology is_a triples, alias/xref connected-components
+    canonicalization (operators/graph.py connected_components +
+    plans/kg.canonical_mapping; reference ontology_graph.py:344-387,
+    :563-569) and the canonical subj/obj rewrite. The only pipeline
+    stage absent is the non-SQL model-scoring kernel, whose
+    probabilities are replaced by deterministic mention-count scores
+    cnt/(cnt+1); everything else is the literal operator composition
+    the fixture pipeline (q_kg_triples) runs."""
+    from cello_spark.operators.cascade import closure_with_self
+    from cello_spark.operators.graph import connected_components, transitive_closure
+    from cello_spark.operators.linking import (
+        binarize_relational,
+        most_specific_relational,
+    )
+    from cello_spark.operators.mentions import detect_mentions
+    from cello_spark.plans.kg import canonical_mapping
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    alias_df = spark.createDataFrame(
+        KG_CHAIN_ALIASES, "alias_norm string, term_id string"
+    )
+    mentions = detect_mentions(docs, alias_df, distinct=False)
+    probs = (
+        mentions.groupBy(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("term_id").cast("long").alias("label"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            "label",
+            (F.col("cnt") / (F.col("cnt") + F.lit(1.0))).alias("prob"),
+        )
+    )
+    part = _t(spark, sf_dir, "part")
+    thresholds = part.select(
+        F.col("p_partkey").alias("label"),
+        (F.lit(0.2) + F.pmod(F.col("p_partkey"), F.lit(7)) / F.lit(10.0)).alias(
+            "threshold"
+        ),
+    )
+    edges = _part_edges(spark, sf_dir).withColumn("rel", F.lit("is_a"))
+    closure = transitive_closure(edges, rels=("is_a",))
+    cws = closure_with_self(closure)
+    bins = binarize_relational(probs, thresholds, cws)
+    scored = probs.join(bins, ["doc_id", "label"])
+    ms = most_specific_relational(scored, closure, [])
+    typing = ms.join(cws, ms.most_specific == cws.descendant).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.col("ancestor").cast("string").alias("obj"),
+    )
+    onto = edges.select(
+        F.col("src").cast("string").alias("subj"),
+        F.lit("is_a").alias("pred"),
+        F.col("dst").cast("string").alias("obj"),
+    )
+    pairs = spark.createDataFrame(
+        KG_CHAIN_XREFS, "a string, b string"
+    ).unionByName(
+        alias_df.select(
+            F.col("term_id").alias("a"),
+            F.concat(F.lit("alias:"), F.col("alias_norm")).alias("b"),
+        )
+    )
+    cmap = canonical_mapping(connected_components(pairs))
+    subj_map = F.broadcast(
+        cmap.select(F.col("node").alias("subj"), F.col("canonical").alias("subj_c"))
+    )
+    obj_map = F.broadcast(
+        cmap.select(F.col("node").alias("obj"), F.col("canonical").alias("obj_c"))
+    )
+    return (
+        typing.unionByName(onto)
+        .join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+        )
+        .dropDuplicates()
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1053,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_clusters": q_kmeans_clusters,
         "q_media_decode": q_media_decode,
         "q_kg_triples": q_kg_triples,
+        "q_kg_chain": q_kg_chain,
     }
 
 
@@ -1065,6 +1193,38 @@ _TOKENS_SQL = (
     "chr(9)||chr(10)||chr(13), '   '), ' '), t -> t != '')"
 )
 _NORM_SQL = f"array_to_string({_TOKENS_SQL}, ' ')"
+
+# mention-path tokenizer (punctuation folded) — built from the SAME
+# fold set the engine uses (functions/text.py mention_tokens) so the
+# two sides cannot drift
+from cello_spark.functions.text import _MENTION_FOLD as _MF  # noqa: E402
+
+_MENTION_FOLD_SQL = "chr(9)||chr(10)||chr(13)||" + "||".join(
+    f"chr({ord(c)})" for c in _MF
+)
+_MENTION_TOKENS_SQL = (
+    f"list_filter(string_split(translate(lower(text), {_MENTION_FOLD_SQL}, "
+    f"repeat(' ', {3 + len(_MF)})), ' '), t -> t != '')"
+)
+
+# q_kg_chain VALUES clauses generated from the same constants the
+# Spark side uses (KG_CHAIN_ALIASES / KG_CHAIN_XREFS) — no drift
+_KG_CHAIN_DICT_VALUES = ", ".join(
+    f"('{a}', {t})" for a, t in KG_CHAIN_ALIASES
+)
+_KG_CHAIN_PAIR_VALUES = ", ".join(
+    [f"('{a}', '{b}')" for a, b in KG_CHAIN_XREFS]
+    + [f"('{t}', 'alias:{a}')" for a, t in KG_CHAIN_ALIASES]
+)
+
+# q_lang_detect: stopword list literals from the SAME dict the engine
+# uses (functions/text.py STOPWORDS) — no drift
+from cello_spark.functions.text import STOPWORDS as _SW  # noqa: E402
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in _SW.items()
+}
 _STOP_EN = "['the','of','and','to','in','a','is','that','for','it','with','as','was','on','are']"
 
 
@@ -1610,6 +1770,153 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.ancestor AS VARCHAR) AS obj
             FROM ms JOIN cws c ON ms.most_specific = c.descendant
             ORDER BY subj, obj
+        """,
+        "q_kg_chain": f"""
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), nodes AS (
+              SELECT descendant AS n FROM closure
+              UNION SELECT ancestor FROM closure
+            ), cws AS (
+              SELECT descendant, ancestor FROM closure
+              WHERE descendant != ancestor
+              UNION SELECT n AS descendant, n AS ancestor FROM nodes
+            ), dict(alias_norm, label) AS (
+              VALUES {_KG_CHAIN_DICT_VALUES}
+            ), toks AS (
+              SELECT doc_id, {_MENTION_TOKENS_SQL} AS tk FROM documents
+            ), grams AS (
+              SELECT doc_id, tk[i] AS g FROM (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk))) AS i
+                FROM toks)
+              UNION ALL
+              SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g FROM (
+                SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk) - 1)) AS i
+                FROM toks)
+            ), probs AS (
+              SELECT g.doc_id, d.label,
+                     count(*) / (count(*) + 1.0) AS prob
+              FROM grams g JOIN dict d ON g.g = d.alias_norm
+              GROUP BY 1, 2
+            ), thr AS (
+              SELECT p_partkey AS label,
+                     0.2 + (p_partkey % 7) / 10.0 AS threshold
+              FROM part
+            ), bins AS (
+              SELECT p.doc_id, c.descendant AS label,
+                     min(CASE WHEN p.prob > t.threshold THEN 1 ELSE 0 END) AS bin
+              FROM probs p
+              JOIN thr t ON p.label = t.label
+              JOIN cws c ON p.label = c.ancestor
+              GROUP BY p.doc_id, c.descendant
+            ), pos AS (
+              SELECT p.doc_id, p.label, p.prob
+              FROM probs p JOIN bins b
+                ON p.doc_id = b.doc_id AND p.label = b.label
+              WHERE b.bin = 1
+            ), ms AS (
+              SELECT doc_id, label AS most_specific FROM (
+                SELECT p.doc_id, p.label,
+                       row_number() OVER (
+                         PARTITION BY p.doc_id
+                         ORDER BY p.prob DESC, p.label ASC
+                       ) AS rn
+                FROM pos p
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM pos m
+                  JOIN closure c ON m.label = c.descendant
+                  WHERE m.doc_id = p.doc_id AND c.ancestor = p.label
+                    AND c.descendant != c.ancestor
+                )
+              ) WHERE rn = 1
+            ), typing AS (
+              SELECT DISTINCT 'doc:' || CAST(ms.doc_id AS VARCHAR) AS subj,
+                     'rdf:type' AS pred,
+                     CAST(c.ancestor AS VARCHAR) AS obj
+              FROM ms JOIN cws c ON ms.most_specific = c.descendant
+            ), onto AS (
+              SELECT CAST(src AS VARCHAR) AS subj, 'is_a' AS pred,
+                     CAST(dst AS VARCHAR) AS obj
+              FROM edges
+            ), apairs(a, b) AS (
+              VALUES {_KG_CHAIN_PAIR_VALUES}
+            ), sym AS (
+              SELECT a AS x, b AS y FROM apairs
+              UNION SELECT b, a FROM apairs
+            ), reach AS (
+              SELECT x AS node, y AS peer FROM sym
+              UNION
+              SELECT r.node, s.y FROM reach r JOIN sym s ON r.peer = s.x
+            ), cmap AS (
+              SELECT node, least(node, min(peer)) AS canonical
+              FROM reach GROUP BY node
+            ), raw AS (
+              SELECT * FROM typing UNION ALL SELECT * FROM onto
+            )
+            SELECT DISTINCT coalesce(cs.canonical, r.subj) AS subj,
+                   r.pred,
+                   coalesce(co.canonical, r.obj) AS obj
+            FROM raw r
+            LEFT JOIN cmap cs ON r.subj = cs.node
+            LEFT JOIN cmap co ON r.obj = co.node
+            ORDER BY subj, pred, obj
+        """,
+        "q_lang_detect": f"""
+            WITH toks AS (
+              SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM documents
+            ), ratios AS (
+              SELECT doc_id, text, tk,
+                CASE WHEN len(tk) > 0 THEN
+                  len(list_filter(tk, t -> list_contains({_SW_SQL["en"]}, t)))
+                    / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS r_en,
+                CASE WHEN len(tk) > 0 THEN
+                  len(list_filter(tk, t -> list_contains({_SW_SQL["de"]}, t)))
+                    / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS r_de,
+                CASE WHEN len(tk) > 0 THEN
+                  len(list_filter(tk, t -> list_contains({_SW_SQL["fr"]}, t)))
+                    / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS r_fr,
+                CASE WHEN len(tk) > 0 THEN
+                  len(list_filter(tk, t -> list_contains({_SW_SQL["es"]}, t)))
+                    / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS r_es
+              FROM toks
+            ), feats AS (
+              SELECT doc_id,
+                greatest(r_en, r_de, r_fr, r_es) AS best,
+                r_en, r_de, r_fr, r_es,
+                least(length(text) / 500.0, 1.0) AS len_score,
+                least(r_en / 0.3, 1.0) AS sw_score,
+                CASE WHEN length(text) > 0 THEN
+                  len(regexp_extract_all(text, '[^\\w\\s]'))
+                    / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS p,
+                CASE WHEN len(tk) > 0 THEN
+                  list_sum(list_transform(tk, t -> length(t)))
+                    / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS mwl
+              FROM ratios
+            )
+            SELECT doc_id,
+              CASE WHEN best > 0.0 THEN
+                CASE WHEN r_fr = best THEN 'fr'
+                     WHEN r_es = best THEN 'es'
+                     WHEN r_en = best THEN 'en'
+                     ELSE 'de' END
+              ELSE 'und' END AS lang_detected,
+              round((len_score + sw_score
+                     + (CASE WHEN p < 0.2 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (p - 0.2) * 2.0) END)
+                     + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                             THEN 1.0 ELSE 0.4 END)) / 4.0, 6) AS quality
+            FROM feats
         """,
         "q_cdc_negatives": """
             WITH RECURSIVE edges AS (
