@@ -756,6 +756,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite fuzzy-dedup chain — the canonical LLM-corpus dedup
+    shape: n-gram Jaccard candidate pairs (inverted index, capped
+    shingle DF) → undirected connected components over the similarity
+    graph → keep-min canonical per duplicate cluster. One row per doc
+    that belongs to a near-dup cluster, with the cluster's kept doc.
+    All three stages are the operators the KG pipeline itself composes
+    (operators/dedup.py ngram_jaccard_pairs, operators/graph.py
+    connected_components)."""
+    from cello_spark.operators.dedup import ngram_jaccard_pairs
+    from cello_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3, max_shingle_df=1000
+    ).select("a", "b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    ).orderBy("doc_id")
+
+
 def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention detection (P2-analog): dictionary unigram join over
     documents; per-term distinct-doc and mention counts."""
@@ -1166,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact_groups": q_dedup_exact_groups,
         "q_dedup_keep_min": q_dedup_keep_min,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_fuzzy": q_dedup_fuzzy,
         "q_mention_counts": q_mention_counts,
         "q_salted_join": q_salted_join,
         "q_mention_counts_salted": q_mention_counts_salted,
@@ -2134,6 +2159,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+        """,
+        "q_dedup_fuzzy": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks, LATERAL (
+                SELECT unnest(range(1, greatest(len(t) - 1, CASE WHEN len(t) > 0 THEN 2 ELSE 1 END))) AS i
+              )
+              WHERE len(t) > 0
+            ), capped AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+            ), cand AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+              FROM capped l
+              JOIN capped r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b FROM cand
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+            ), sym AS (
+              SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs
+            ), reach AS (
+              SELECT x AS node, y AS peer FROM sym
+              UNION
+              SELECT r.node, s.y FROM reach r JOIN sym s ON r.peer = s.x
+            )
+            SELECT node AS doc_id,
+                   least(node, min(peer)) AS keep,
+                   node = least(node, min(peer)) AS is_kept
+            FROM reach GROUP BY node
+            ORDER BY doc_id
         """,
         "q_mention_counts": f"""
             WITH toks AS (
