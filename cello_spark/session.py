@@ -122,20 +122,11 @@ def get_spark(
     return spark
 
 
-def ship_package(spark: SparkSession) -> None:
-    """Make `cello_spark` importable inside executor Python workers —
-    the spark-submit --py-files pattern, done programmatically so any
-    driver script (even one launched outside the repo) works. Zips the
-    package once per session and addPyFile()s it; harmless no-op when
-    already shipped."""
-    sc = spark.sparkContext
-    if sc._jsc is None:  # stopped session
-        return
-    marker = "_cello_spark_shipped"
-    if getattr(sc, marker, False):
-        return
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the `cello_spark` package for `spark-submit --py-files` (or
+    addPyFile). Returns the zip path."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
+    zpath = dest or os.path.join(
         tempfile.gettempdir(), f"cello_spark_pyfiles_{os.getpid()}.zip"
     )
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -150,7 +141,22 @@ def ship_package(spark: SparkSession) -> None:
                     "cello_spark", os.path.relpath(full, pkg_dir)
                 )
                 zf.write(full, rel)
-    sc.addPyFile(zpath)
+    return zpath
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `cello_spark` importable inside executor Python workers —
+    the spark-submit --py-files pattern, done programmatically so any
+    driver script (even one launched outside the repo) works. Zips the
+    package once per session and addPyFile()s it; harmless no-op when
+    already shipped."""
+    sc = spark.sparkContext
+    if sc._jsc is None:  # stopped session
+        return
+    marker = "_cello_spark_shipped"
+    if getattr(sc, marker, False):
+        return
+    sc.addPyFile(build_pyfiles_zip())
     setattr(sc, marker, True)
 
 
