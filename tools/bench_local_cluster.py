@@ -62,9 +62,13 @@ onto = make_ontology()
 cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
 documents = spark.read.parquet(cache + "/documents")
 features = spark.read.parquet(cache + "/features")
+# warmup includes real multi-task parquet writes: the first full-scale
+# write in a fresh executor JVM pays a large one-time cost at high
+# concurrency (see tools/bench_scaling.py / BENCH/BASELINE.md)
+warm_docs = min(400_000, max(20_000, n_docs // 10))
 warm_dir = tempfile.mkdtemp(prefix=f"kg_lcw_{{workers}}_", dir=shm)
 try:
-    build_kg_pipeline(spark, warm_dir, documents.limit(20_000), features,
+    build_kg_pipeline(spark, warm_dir, documents.limit(warm_docs), features,
                       onto, make_model_weights(onto), make_thresholds(onto)).run()
 finally:
     shutil.rmtree(warm_dir, ignore_errors=True)

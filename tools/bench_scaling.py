@@ -50,15 +50,21 @@ onto = make_ontology()
 cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
 documents = spark.read.parquet(cache + "/documents")
 features = spark.read.parquet(cache + "/features")
-# steady-state warmup: run the SAME pipeline on a small slice first and
+# steady-state warmup: run the SAME pipeline on a slice first and
 # discard it. This compiles the JIT'd codegen stages, forks+imports the
-# Python workers (spark.python.worker.reuse keeps them), and exercises
-# the broadcast path — one-time session costs a long-lived cluster
-# executor amortizes over many jobs, but which dominate a sub-minute
-# cold-JVM run and would be mismeasured as (anti-)scaling.
+# Python workers (spark.python.worker.reuse keeps them), exercises the
+# broadcast path, AND warms the parquet-writer path (column-writer JIT
+# + compression/direct-buffer pools) with real multi-task writes —
+# measured on this box, the FIRST full-scale parquet write in a fresh
+# JVM at local[32] costs ~15-25s extra over every subsequent identical
+# write (a high-concurrency first-touch storm absent at local[8]), so
+# a tiny warmup that coalesces to 1-2 write tasks leaves the measured
+# run paying a one-time cost a long-lived cluster executor amortizes.
+# n_docs//10 (≥20k, ≤400k) keeps the warmup ~10% of the measured run.
+warm_docs = min(400_000, max(20_000, n_docs // 10))
 warm_dir = tempfile.mkdtemp(prefix=f"kg_warm_{{cores}}_", dir=shm)
 try:
-    build_kg_pipeline(spark, warm_dir, documents.limit(20_000), features,
+    build_kg_pipeline(spark, warm_dir, documents.limit(warm_docs), features,
                       onto, make_model_weights(onto), make_thresholds(onto)).run()
 finally:
     shutil.rmtree(warm_dir, ignore_errors=True)
@@ -150,6 +156,14 @@ def main() -> None:
     the noise on this shared box is strictly one-sided (slowdowns)."""
     argv = [a for a in sys.argv[1:] if a != "--merge"]
     merge = "--merge" in sys.argv
+    measure_levels: set[int] | None = None
+    if "--measure" in argv:
+        # --measure 8,32: only run fresh measurements at these levels;
+        # other pair levels come from merged prior runs (requires
+        # --merge and a matching-n_docs BENCH/scaling.json)
+        mi = argv.index("--measure")
+        measure_levels = {int(x) for x in argv[mi + 1].split(",")}
+        del argv[mi : mi + 2]
     n_docs = int(argv[0]) if len(argv) > 0 else 20_000
     repeats = int(argv[1]) if len(argv) > 1 else 3
     pair_args = argv[2:] or ["8,32", "1,4"]
@@ -173,6 +187,8 @@ def main() -> None:
                         results[c]["runs"].extend(lv.get("runs", []))
     for rep in range(repeats):
         for cores in levels:
+            if measure_levels is not None and cores not in measure_levels:
+                continue
             r = run_level(cores, n_docs)
             results[cores]["runs"].append(r)
             print(
@@ -182,6 +198,12 @@ def main() -> None:
             )
     for cores in levels:
         runs = results[cores]["runs"]
+        if not runs:
+            raise SystemExit(
+                f"no runs for local[{cores}]: --measure excluded it and no "
+                f"prior BENCH/scaling.json runs merged (need --merge with a "
+                f"matching n_docs)"
+            )
         results[cores]["best"] = min(runs, key=lambda r: r["wall_sec"])
 
     pair_summaries = []
@@ -277,6 +299,23 @@ def _write_md(s: dict) -> None:
             f"size, i.e. no per-job cost grows faster than the input "
             f"(the ontology broadcast is the only global state).\n\n"
         )
+    submit_para = ""
+    submit_path = os.path.join(REPO, "BENCH", "submit_smoke.json")
+    if os.path.exists(submit_path):
+        with open(submit_path) as f:
+            sm = json.load(f)
+        submit_para = (
+            f"\nLiteral `spark-submit --py-files` deployment: "
+            f"`tools/run_spark_submit.py` (`BENCH/submit_smoke.json`) "
+            f"packages `cello_spark` into a zip and launches "
+            f"`tools/submit_kg.py` through the real spark-submit binary "
+            f"onto a `{sm['master']}` master with a scrubbed PYTHONPATH "
+            f"— the package reaches the driver and all executor JVMs "
+            f"only via `--py-files`, and the run passes the same triple "
+            f"P/R ≥ 0.95 oracle gate as the test suite (measured: "
+            f"P={sm['precision']}, R={sm['recall']} at "
+            f"{sm['n_docs']:,} docs, {sm['triples']:,} triples).\n"
+        )
     md = f"""# BENCH/BASELINE.md — throughput & scaling evidence
 
 Job: full KG-construction pipeline (ontology ingest → closure →
@@ -315,7 +354,7 @@ pinned 1-core level additionally runs every JVM service thread and
 all Python workers on a single core, so mild (1,4) super-linearity is
 expected and measured; on a real cluster no executor runs below one
 core, making the 4N side the representative one.
-
+{submit_para}
 ## The box's CPU envelope (what any job CAN scale to here)
 
 `tools/bench_cpu_envelope.py` (results: `BENCH/cpu_envelope.json`,
@@ -350,6 +389,20 @@ stage went from 79.7s (flat vs local[8]) to 28.8s. Fix shipped in
 G1 — with a pre-touched fixed heap, G1/ZGC/sized-ParallelGC measure
 within noise of each other). The round-1 ParallelGCThreads=8 pin
 treated a symptom of the fault storms and is removed.
+
+## Measurement fix: warm the parquet-writer path before timing
+
+The FIRST full-scale parquet write in a fresh JVM at local[32] costs
+~15-25s more than every subsequent identical write (measured: the same
+detect_mentions compute+write runs 44-54s cold vs ~28s on repeat,
+while the compute alone through a noop sink is ~25s and a re-write of
+persisted data is ~3s); at local[8] the first-write penalty is ~3s.
+The cost is the cold writer path at high concurrency (column-writer
+JIT + compression/direct-buffer first-touch), a one-time session cost
+a long-lived cluster executor amortizes across thousands of writes —
+so the warmup pipeline slice is sized at n_docs/10 (≥20k, ≤400k docs)
+to exercise real multi-task writes per stage before the timed run. A
+tiny warmup whose writes coalesce to 1-2 tasks does NOT absorb it.
 
 Reproduce: `python tools/bench_cpu_envelope.py && python
 tools/bench_scaling.py {s['n_docs']} {n_runs} 8,32 1,4`.
