@@ -150,14 +150,24 @@ class Pipeline:
         num_rows lives in the footer metadata). Driver-side only."""
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        pids, counts = [], []
-        for fname in sorted(os.listdir(data_dir)):
-            if not fname.endswith(".parquet") or not fname.startswith("part-"):
-                continue
-            n = pq.ParquetFile(os.path.join(data_dir, fname)).metadata.num_rows
-            pids.append(int(fname.split("-")[1]))
-            counts.append(n)
+        names = [
+            f
+            for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet") and f.startswith("part-")
+        ]
+
+        def _rows(fname: str) -> int:
+            return pq.ParquetFile(os.path.join(data_dir, fname)).metadata.num_rows
+
+        # footer reads are tiny independent I/O — a serial loop over
+        # hundreds of files is pure driver dead time between stages
+        # (it scales with output partitions, i.e. WORSE at higher
+        # parallelism); a thread pool keeps it ~constant
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            counts = list(ex.map(_rows, names))
+        pids = [int(f.split("-")[1]) for f in names]
         lin_dir = os.path.join(sdir, "_lineage")
         shutil.rmtree(lin_dir, ignore_errors=True)
         os.makedirs(lin_dir, exist_ok=True)

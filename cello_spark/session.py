@@ -72,6 +72,17 @@ def get_spark(
         # full repartition shuffle. On a real cluster spark-submit
         # overrides this back to 128m+ (100 TB → plenty of splits).
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # match openCost to the bin capacity so each small file gets
+        # its own scan partition instead of being bin-packed 3-to-1:
+        # local inputs are many ~1-6 MB files, and packing them down
+        # to < task-slot partitions forced ensure_min_partitions into
+        # a full text shuffle at high core counts ONLY (measured on
+        # the 1M-doc bench: the mentions stage burned 2.75x the
+        # core-seconds at local[32] vs local[8] because only the
+        # 32-core run paid the repartition). Per-file splits give both
+        # levels the identical no-shuffle plan — which is what a real
+        # cluster sees, where the scan always has >> slots splits.
+        .config("spark.sql.files.openCostInBytes", "16m")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

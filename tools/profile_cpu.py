@@ -1,13 +1,11 @@
-"""Per-stage scaling profile of the KG pipeline.
+"""Per-stage CPU-utilization profile of the KG pipeline.
 
-Runs the end-to-end pipeline at two parallelism levels (pinned via
-taskset, fresh subprocess each — same protocol as bench_scaling.py)
-and prints each stage's wall at both levels plus its individual 8→32
-efficiency. This localizes WHERE the scaling loss lives (mention scan?
-linking mapInPandas? triple dedup shuffle? fixed driver cost?) instead
-of guessing from the end-to-end number.
+For each stage, samples /proc/stat on the taskset-pinned cores before
+and after, and reports busy-core-seconds / (wall * cores): a stage at
+~1.0 is compute-bound (loss = hardware contention); a stage well below
+1.0 has idle cores (loss = waves/serial driver work/scheduling).
 
-Usage: python tools/profile_stages.py [n_docs] [lo] [hi]
+Usage: python tools/profile_cpu.py [n_docs] [cores...]
 """
 
 from __future__ import annotations
@@ -29,9 +27,22 @@ from cello_spark.sources.fixtures import (
     make_ontology, make_model_weights, make_thresholds)
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+
+def cpu_busy(n):
+    # sum busy jiffies over the first n per-core lines
+    busy = 0.0
+    with open('/proc/stat') as f:
+        for line in f:
+            if line.startswith('cpu') and not line.startswith('cpu '):
+                idx = int(line.split()[0][3:])
+                if idx < n:
+                    v = list(map(int, line.split()[1:]))
+                    busy += sum(v) - v[3] - v[4]  # minus idle+iowait
+    return busy / os.sysconf('SC_CLK_TCK')
+
 shm = "/dev/shm/kg_prof"
 os.makedirs(shm, exist_ok=True)
-spark = get_spark(app_name=f"profile_{{cores}}", cores=cores,
+spark = get_spark(app_name=f"cpuprof_{{cores}}", cores=cores,
                   extra_conf={{"spark.local.dir": shm + "/spark-local"}})
 onto = make_ontology()
 cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
@@ -44,21 +55,26 @@ try:
                       onto, make_model_weights(onto), make_thresholds(onto)).run()
 finally:
     shutil.rmtree(warm_dir, ignore_errors=True)
-workdir = tempfile.mkdtemp(prefix=f"kg_prof_{{cores}}_", dir=shm)
+
+workdir = tempfile.mkdtemp(prefix=f"kg_cpu_{{cores}}_", dir=shm)
+out = {{}}
 try:
     pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
                              make_model_weights(onto), make_thresholds(onto))
-    t0 = time.monotonic()
-    results = pipe.run()
-    n_triples = [r for r in results if r.name == "triples"][0].rows
-    t_count = time.monotonic()
-    wall = t_count - t0
-    stages = {{r.name: r.wall_sec for r in results}}
-    stages["_overhead"] = t_count - t0 - sum(stages.values())
+    # run stage-by-stage via stop_after to bracket each with cpu samples
+    names = [n for n, _, tiny in pipe.stages]
+    ctx = {{}}
+    prev_done = set()
+    for name in names:
+        b0, t0 = cpu_busy(cores), time.monotonic()
+        pipe.run(stop_after=name)
+        wall = time.monotonic() - t0
+        busy = cpu_busy(cores) - b0
+        out[name] = {{"wall": wall, "busy_core_sec": busy,
+                     "util": busy / (wall * cores) if wall > 0 else None}}
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
-print(json.dumps({{"cores": cores, "wall_sec": wall, "triples": n_triples,
-                  "stages": stages}}))
+print(json.dumps({{"cores": cores, "stages": out}}))
 spark.stop()
 """
 
@@ -75,26 +91,16 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    sys.path.insert(0, REPO)
-    from tools.bench_scaling import ensure_input
-
-    ensure_input(n_docs)
-    res = {c: run_level(c, n_docs) for c in (lo, hi)}
-    ratio = hi / lo
-    print(f"\n{'stage':<16}{f'T{lo}':>10}{f'T{hi}':>10}{'speedup':>10}{'eff':>8}")
-    names = list(res[lo]["stages"])
-    for name in names:
-        tl, th = res[lo]["stages"][name], res[hi]["stages"][name]
-        sp = tl / th if th > 0 else float("inf")
-        print(f"{name:<16}{tl:>10.2f}{th:>10.2f}{sp:>10.2f}{sp / ratio:>8.2f}")
-    tl, th = res[lo]["wall_sec"], res[hi]["wall_sec"]
-    print(f"{'TOTAL':<16}{tl:>10.2f}{th:>10.2f}{tl / th:>10.2f}{tl / th / ratio:>8.2f}")
-    out = os.path.join(REPO, "BENCH", "stage_profile.json")
-    with open(out, "w") as f:
+    levels = [int(c) for c in sys.argv[2:]] or [8, 32]
+    res = {c: run_level(c, n_docs) for c in levels}
+    for c in levels:
+        print(f"\n== local[{c}] ==")
+        print(f"{'stage':<16}{'wall':>8}{'busy':>9}{'util':>7}")
+        for name, v in res[c]["stages"].items():
+            u = f"{v['util']:.2f}" if v["util"] is not None else "-"
+            print(f"{name:<16}{v['wall']:>8.2f}{v['busy_core_sec']:>9.1f}{u:>7}")
+    with open(os.path.join(REPO, "BENCH", "cpu_profile.json"), "w") as f:
         json.dump({"n_docs": n_docs, "levels": res}, f, indent=2)
-    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
