@@ -29,8 +29,10 @@ from cello_spark.sources.fixtures import (
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
 
 def cpu_busy(n):
-    # sum busy jiffies over the first n per-core lines
-    busy = 0.0
+    # (busy, system) jiffy totals over the first n per-core lines;
+    # a system-time share that grows with cores points at the kernel
+    # (tmpfs writes, page faults, futex), not user compute
+    busy = sys_t = 0.0
     with open('/proc/stat') as f:
         for line in f:
             if line.startswith('cpu') and not line.startswith('cpu '):
@@ -38,7 +40,36 @@ def cpu_busy(n):
                 if idx < n:
                     v = list(map(int, line.split()[1:]))
                     busy += sum(v) - v[3] - v[4]  # minus idle+iowait
-    return busy / os.sysconf('SC_CLK_TCK')
+                    sys_t += v[2] + v[5] + v[6]   # system+irq+softirq
+    tck = os.sysconf('SC_CLK_TCK')
+    return busy / tck, sys_t / tck
+
+
+def proc_cpu():
+    # split CPU between the JVM and the pyspark worker processes:
+    # sum (utime+stime+cutime+cstime) per live process by comm. Dead
+    # children are folded into the parent's cutime/cstime, so the JVM
+    # row also absorbs exited workers. Driver pid excluded from
+    # 'python' so the split is executor-side only.
+    me = os.getpid()
+    jvm = py = 0.0
+    for pid in os.listdir('/proc'):
+        if not pid.isdigit():
+            continue
+        try:
+            with open('/proc/' + pid + '/stat') as f:
+                parts = f.read().rsplit(')', 1)
+            comm = parts[0].split('(', 1)[1]
+            v = parts[1].split()
+            t = (int(v[11]) + int(v[12]) + int(v[13]) + int(v[14]))
+        except (OSError, IndexError, ValueError):
+            continue
+        if comm == 'java':
+            jvm += t
+        elif comm.startswith('python') and int(pid) != me:
+            py += t
+    tck = os.sysconf('SC_CLK_TCK')
+    return jvm / tck, py / tck
 
 shm = "/dev/shm/kg_prof"
 os.makedirs(shm, exist_ok=True)
@@ -66,12 +97,17 @@ try:
     ctx = {{}}
     prev_done = set()
     for name in names:
-        b0, t0 = cpu_busy(cores), time.monotonic()
+        (b0, s0), t0 = cpu_busy(cores), time.monotonic()
+        j0, p0 = proc_cpu()
         pipe.run(stop_after=name)
         wall = time.monotonic() - t0
-        busy = cpu_busy(cores) - b0
+        b1, s1 = cpu_busy(cores)
+        j1, p1 = proc_cpu()
+        busy = b1 - b0
         out[name] = {{"wall": wall, "busy_core_sec": busy,
-                     "util": busy / (wall * cores) if wall > 0 else None}}
+                     "util": busy / (wall * cores) if wall > 0 else None,
+                     "sys_core_sec": s1 - s0,
+                     "jvm_core_sec": j1 - j0, "py_core_sec": p1 - p0}}
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
 print(json.dumps({{"cores": cores, "stages": out}}))
@@ -95,10 +131,13 @@ def main() -> None:
     res = {c: run_level(c, n_docs) for c in levels}
     for c in levels:
         print(f"\n== local[{c}] ==")
-        print(f"{'stage':<16}{'wall':>8}{'busy':>9}{'util':>7}")
+        print(f"{'stage':<16}{'wall':>8}{'busy':>9}{'util':>7}"
+              f"{'sys':>9}{'jvm':>9}{'py':>9}")
         for name, v in res[c]["stages"].items():
             u = f"{v['util']:.2f}" if v["util"] is not None else "-"
-            print(f"{name:<16}{v['wall']:>8.2f}{v['busy_core_sec']:>9.1f}{u:>7}")
+            print(f"{name:<16}{v['wall']:>8.2f}{v['busy_core_sec']:>9.1f}{u:>7}"
+                  f"{v.get('sys_core_sec', 0):>9.1f}"
+                  f"{v.get('jvm_core_sec', 0):>9.1f}{v.get('py_core_sec', 0):>9.1f}")
     with open(os.path.join(REPO, "BENCH", "cpu_profile.json"), "w") as f:
         json.dump({"n_docs": n_docs, "levels": res}, f, indent=2)
 
