@@ -10,8 +10,11 @@ Scale design (100 TB documents, KB-size dictionary):
 - `explode(spans)` keeps only text spans; documents themselves are
   never mutated → the per-row span-sequence invariant is preserved by
   construction (mentions are a *separate* table keyed by doc_id).
-- Candidate generation is pure JVM (split + sequence/transform/slice
-  inside whole-stage codegen) — no Python in the hot path.
+- Candidate generation is pure JVM and lambda-free (posexplode →
+  explode(sequence) → top-level slice/array_join, one whole-stage
+  codegen span) — no Python and no interpreted higher-order
+  functions in the hot path (the HOF form anti-scales; see
+  candidate_ngrams docstring).
 - The dictionary join is an explicit `F.broadcast` hash join: zero
   shuffle on the document side regardless of input size.
 - The only shuffle in this stage is the optional per-term aggregate,
@@ -51,30 +54,44 @@ def text_spans(documents: DataFrame) -> DataFrame:
 
 def candidate_ngrams(spans: DataFrame, max_n: int = MAX_ALIAS_TOKENS) -> DataFrame:
     """All 1..max_n token n-grams of each text span, normalized with
-    the mention tokenizer (punctuation folded). Fully JVM-side
-    (codegen): split → sequence/transform/slice → explode.
-    Output (doc_id, span_idx, offset, ngram)."""
+    the mention tokenizer (punctuation folded). Output
+    (doc_id, span_idx, offset, ngram).
+
+    Shape note (measured, tools/diag_ngram_variants.py): building the
+    n-grams with nested higher-order functions (transform → sequence →
+    slice/array_join inside a lambda) runs INTERPRETED per element and
+    its per-position collection allocation anti-scales with task
+    parallelism on a shared JVM heap (~2.8x core-second inflation from
+    local[8]→local[32]). Exploding first and applying slice/array_join
+    at the TOP level keeps every expression inside whole-stage codegen:
+    ~3x less CPU at both parallelism levels and near-envelope scaling.
+    The `tokens` array rides through the explodes as a reference
+    inside one codegen stage — it is never re-materialized per row."""
     toks = spans.withColumn("tokens", _mention_tokens("text"))
-    ngrams = toks.withColumn(
-        "ngrams",
-        F.expr(
-            # NB: sequence(1, 0) counts DOWN in Spark, so the inner
-            # range must be gated on size(tokens) >= n
-            f"""
-            flatten(transform(sequence(1, {max_n}), n ->
-              if(size(tokens) >= n,
-                 transform(
-                   sequence(1, size(tokens) - n + 1),
-                   i -> array_join(slice(tokens, i, n), ' ')),
-                 array())))
-            """
-        ),
-    )
-    return ngrams.select(
-        "doc_id",
-        "span_idx",
-        "offset",
-        F.explode("ngrams").alias("ngram"),
+    return (
+        toks.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            "tokens",
+            F.posexplode("tokens").alias("pos", "tok"),
+        )
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            "tokens",
+            "pos",
+            F.explode(
+                F.expr(f"sequence(1, least({max_n}, size(tokens) - pos))")
+            ).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.expr("array_join(slice(tokens, pos + 1, n), ' ')").alias("ngram"),
+        )
     )
 
 
@@ -137,6 +154,24 @@ def detect_mentions(
         "offset",
         _mention_tokens("text").alias("tokens"),
     )
+    # Candidate construction is shared by both gates and deliberately
+    # lambda-free: posexplode positions, gate them, explode
+    # sequence(1, k), then slice/array_join at the TOP level of the
+    # projection. Nested higher-order functions (the obvious
+    # "transform tokens, build per-position arrays" form) evaluate
+    # INTERPRETED per element; their per-position Scala-collection
+    # allocation anti-scales with task parallelism on a shared heap
+    # (measured ~2.8x core-second inflation local[8]→local[32],
+    # tools/diag_ngram_variants.py). This shape keeps the whole
+    # stage — explode → gate → explode → join — in one
+    # WholeStageCodegen span with the document side never shuffled.
+    tokpos = toks.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "tokens",
+        F.posexplode("tokens").alias("pos", "tok"),
+    )
     if gate == "case":
         by_len: dict[int, list[str]] = {}
         for t, n in ft_maxlen.items():
@@ -151,49 +186,33 @@ def detect_mentions(
             f"WHEN tok IN ({_in_lit(ts)}) THEN {n}"
             for n, ts in sorted(by_len.items())
         ) + " ELSE 0 END"
-        # NB: sequence(1, 0) counts DOWN in Spark — gate on n_cand >= 1
-        ngram_expr = f"""
-            flatten(transform(tokens, (tok, pos) ->
-              if(({n_cand}) >= 1,
-                 transform(sequence(1, least({n_cand}, size(tokens) - pos)),
-                           n -> array_join(slice(tokens, pos + 1, n), ' ')),
-                 array())))
-        """
-        cands = toks.select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            F.explode(F.expr(ngram_expr)).alias("ngram"),
+        gated = tokpos.withColumn("n_max", F.expr(n_cand)).where(
+            F.col("n_max") >= 1
         )
     elif gate == "join":
         gate_df = spark.createDataFrame(
             sorted((t, min(n, max_n)) for t, n in ft_maxlen.items()),
             "tok string, n_max int",
         )
-        tokpos = toks.select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            "tokens",
-            F.posexplode("tokens").alias("pos", "tok"),
-        )
         # inner broadcast join IS the gate: non-starting positions drop
-        cands = (
-            tokpos.join(F.broadcast(gate_df), "tok")
-            .select(
-                "doc_id",
-                "span_idx",
-                "offset",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, least(n_max, size(tokens) - pos)), "
-                        "n -> array_join(slice(tokens, pos + 1, n), ' '))"
-                    )
-                ).alias("ngram"),
-            )
-        )
+        gated = tokpos.join(F.broadcast(gate_df), "tok")
     else:
         raise ValueError(f"unknown gate {gate!r}")
+    cands = gated.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "tokens",
+        "pos",
+        F.explode(
+            F.expr("sequence(1, least(n_max, size(tokens) - pos))")
+        ).alias("n"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.expr("array_join(slice(tokens, pos + 1, n), ' ')").alias("ngram"),
+    )
     out = cands.join(
         F.broadcast(alias_dict),
         cands.ngram == alias_dict.alias_norm,

@@ -28,6 +28,18 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.shuffle.sort.bypassMergeThreshold": "0",
         "spark.sql.join.preferSortMergeJoin": "false",
     },
+    # G1's write barriers + card refinement inflate task-thread CPU
+    # ~3.5x at 32 threads on the allocation-heavy interpreted phases
+    # (tools/diag_ngram_flags.py); ParallelGC halves it
+    "pgc": {
+        "spark.driver.extraJavaOptions":
+            "-XX:+UseParallelGC -XX:+AlwaysPreTouch -Xms24g",
+    },
+    "pgc_sort": {
+        "spark.driver.extraJavaOptions":
+            "-XX:+UseParallelGC -XX:+AlwaysPreTouch -Xms24g",
+        "spark.shuffle.sort.bypassMergeThreshold": "0",
+    },
 }
 
 CHILD = r"""
