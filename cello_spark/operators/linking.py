@@ -231,9 +231,30 @@ LINK_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# labels-only variant: what triple emission actually consumes
+LINK_LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("most_specific", T.StringType()),
+        T.StructField("final_labels", T.ArrayType(T.StringType())),
+    ]
+)
 
-def link_documents(features: DataFrame, model: LinkingModel) -> DataFrame:
-    """The one-pass linking operator. `features` = (doc_id, features)."""
+
+def link_documents(
+    features: DataFrame, model: LinkingModel, emit_scores: bool = True
+) -> DataFrame:
+    """The one-pass linking operator. `features` = (doc_id, features).
+
+    ``emit_scores=False`` drops the per-label probs/bins arrays from
+    the output (schema = LINK_LABELS_SCHEMA). Downstreams that only
+    consume the selected labels (triple emission) should use it: the
+    n_labels-wide float/int arrays dominate the stage's Python→JVM
+    Arrow transfer and its parquet write (they are ~20x the bytes of
+    the label columns), and they are re-derivable by re-running the
+    scorer. The full schema remains the default for the predict flow,
+    whose outputs (reference cello.py probability/binary TSVs) need
+    the scores."""
     spark = features.sparkSession
     bc = spark.sparkContext.broadcast(model)
 
@@ -257,18 +278,16 @@ def link_documents(features: DataFrame, model: LinkingModel) -> DataFrame:
             counts = np.bincount(rows_nz, minlength=len(final))
             flat = labels[cols_nz]
             final_lists = np.split(flat, np.cumsum(counts)[:-1])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "probs": list(R.astype(np.float32)),
-                    "bins": list(B.astype(np.int8)),
-                    "most_specific": ms,
-                    "final_labels": [fl.tolist() for fl in final_lists],
-                }
-            )
+            cols = {"doc_id": pdf["doc_id"].to_numpy()}
+            if emit_scores:
+                cols["probs"] = list(R.astype(np.float32))
+                cols["bins"] = list(B.astype(np.int8))
+            cols["most_specific"] = ms
+            cols["final_labels"] = [fl.tolist() for fl in final_lists]
+            yield pd.DataFrame(cols)
 
     return features.select("doc_id", "features").mapInPandas(
-        run, LINK_OUTPUT_SCHEMA
+        run, LINK_OUTPUT_SCHEMA if emit_scores else LINK_LABELS_SCHEMA
     )
 
 

@@ -199,7 +199,10 @@ def build_kg_pipeline(
         # 8.5M mentions at local[32])
         mentioned = ctx["mentions"].select("doc_id")
         gated = features.join(mentioned, "doc_id", "left_semi")
-        return link_documents(gated, model)
+        # triple emission consumes only the selected labels; the
+        # probs/bins arrays are ~20x the bytes and re-derivable —
+        # skip their Arrow transfer and parquet write entirely
+        return link_documents(gated, model, emit_scores=False)
 
     def stage_triples(ctx: dict) -> DataFrame:
         raw = ctx["onto_triples"].unionByName(typing_triples(ctx["linked"]))
