@@ -197,7 +197,13 @@ def build_kg_pipeline(
         # left_semi hash build dedups natively, and the explicit dedup
         # costs a full extra aggregate exchange (measured 15s vs 2s on
         # 8.5M mentions at local[32])
-        mentioned = ctx["mentions"].select("doc_id")
+        # SHUFFLE_HASH on the mention side: the semi join only needs a
+        # hash set of mentioned doc_ids per partition; the default
+        # sort-merge would sort the WIDE features side too — measured
+        # 2x the join cost at both local[8] and local[32]
+        # (tools/diag_linked.py). Hash side spills if oversized, so
+        # this stays safe at 10^12 docs.
+        mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
         gated = features.join(mentioned, "doc_id", "left_semi")
         # triple emission consumes only the selected labels; the
         # probs/bins arrays are ~20x the bytes and re-derivable —

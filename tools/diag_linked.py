@@ -1,0 +1,139 @@
+"""One-off diagnostic: decompose the linked stage at local[N].
+
+Phases:
+  semi    — features ⋈ mentions(doc_id) left_semi, count
+  semi_sh — same with SHUFFLE_HASH hint (skip the features sort)
+  link    — + mapInPandas scoring (labels-only), count
+  write   — full stage incl. parquet write to /dev/shm
+
+Reports wall + JVM core-sec + python core-sec per phase.
+
+Usage: python tools/diag_linked.py [n_docs] [cores...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from shutil import which
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from cello_spark.session import get_spark
+from cello_spark.operators.mentions import detect_mentions
+from cello_spark.operators.linking import LinkingModel, link_documents
+from cello_spark.plans.kg import prepare_ontology
+from cello_spark.sources.fixtures import (
+    make_ontology, make_model_weights, make_thresholds, term_id,
+    QUALIFIER_SUFFIXES)
+import pandas as pd
+
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+shm = "/dev/shm/kg_diag"
+os.makedirs(shm, exist_ok=True)
+spark = get_spark(app_name=f"lkdiag_{{cores}}", cores=cores,
+                  extra_conf={{"spark.local.dir": shm + "/spark-local"}})
+cache = os.path.join({repo!r}, ".cache", "bench", f"kg_docs_{{n_docs}}")
+documents = spark.read.parquet(cache + "/documents")
+features = spark.read.parquet(cache + "/features")
+onto = make_ontology()
+prep = prepare_ontology(onto)
+label_set = set(onto.labels)
+label_edges = [
+    (c, p) for c, p, r in pd.concat([onto.edges, onto.patch_edges])[
+        ["src", "dst", "rel"]].itertuples(index=False)
+    if r == "is_a" and c in label_set and p in label_set]
+model = LinkingModel.from_tables(
+    make_model_weights(onto), make_thresholds(onto), label_edges,
+    qualifier_labels={{term_id(s) for s in QUALIFIER_SUFFIXES}})
+alias_df = spark.createDataFrame(prep["alias_dict"])
+mentions = detect_mentions(documents, alias_df).select("doc_id")
+mdir = tempfile.mkdtemp(prefix=f"lk_m_{{cores}}_", dir=shm)
+mentions.write.mode("overwrite").parquet(mdir + "/m")
+mentioned = spark.read.parquet(mdir + "/m")
+
+def proc_cpu():
+    jvm = py = 0.0
+    me = os.getpid()
+    for pid in os.listdir('/proc'):
+        if not pid.isdigit():
+            continue
+        try:
+            with open('/proc/' + pid + '/stat') as f:
+                parts = f.read().rsplit(')', 1)
+            comm = parts[0].split('(', 1)[1]
+            v = parts[1].split()
+            t = int(v[11]) + int(v[12]) + int(v[13]) + int(v[14])
+        except (OSError, IndexError, ValueError):
+            continue
+        if comm == 'java':
+            jvm += t
+        elif comm.startswith('python') and int(pid) != me:
+            py += t
+    tck = os.sysconf('SC_CLK_TCK')
+    return jvm / tck, py / tck
+
+def phase_semi():
+    features.join(mentioned, "doc_id", "left_semi").count()
+
+def phase_semi_sh():
+    features.join(mentioned.hint("SHUFFLE_HASH"), "doc_id", "left_semi").count()
+
+def phase_link():
+    gated = features.join(mentioned, "doc_id", "left_semi")
+    link_documents(gated, model, emit_scores=False).count()
+
+def phase_write():
+    gated = features.join(mentioned, "doc_id", "left_semi")
+    out = tempfile.mkdtemp(prefix=f"lk_w_{{cores}}_", dir=shm)
+    try:
+        link_documents(gated, model, emit_scores=False).write.mode(
+            "overwrite").parquet(out + "/l")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+phases = [("semi", phase_semi), ("semi_sh", phase_semi_sh),
+          ("link", phase_link), ("write", phase_write)]
+# warmup on a slice
+saved = features
+features = features.limit(max(20_000, n_docs // 10))
+for _, fn in phases:
+    fn()
+features = saved
+out = {{}}
+for name, fn in phases:
+    (j0, p0), t0 = proc_cpu(), time.monotonic()
+    fn()
+    j1, p1 = proc_cpu()
+    out[name] = {{"wall": round(time.monotonic() - t0, 2),
+                 "jvm_core_sec": round(j1 - j0, 1),
+                 "py_core_sec": round(p1 - p0, 1)}}
+shutil.rmtree(mdir, ignore_errors=True)
+print(json.dumps({{"cores": cores, "phases": out}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_docs: int) -> dict:
+    cmd = [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n_docs)]
+    if which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd="/tmp")
+    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    levels = [int(c) for c in sys.argv[2:]] or [8, 32]
+    for c in levels:
+        print(json.dumps(run_level(c, n_docs)))
+
+
+if __name__ == "__main__":
+    main()
