@@ -347,16 +347,26 @@ deflates every speedup it anchors.
 
 {reading_rows}
 
-{datasize_para}Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
-(`BENCH/local_cluster.json`) runs the same job on one vs four REAL
-executor JVMs (`local-cluster[1,8]` vs `local-cluster[4,8]`) — the
-literal N-vs-4N-executors shape with cross-JVM shuffle and shipped
-py-files — and reproduces the local[8] vs local[32] ratio: the 8→32
-shortfall is the box's CPU envelope, not single-JVM structure. The
-pinned 1-core level additionally runs every JVM service thread and
-all Python workers on a single core, so mild (1,4) super-linearity is
-expected and measured; on a real cluster no executor runs below one
-core, making the 4N side the representative one.
+{datasize_para}Zero-coupling capacity proof: `tools/bench_independent.py`
+(`BENCH/independent.json`) runs FOUR fully independent pinned
+local[8] pipelines (disjoint core sets, separate JVMs/Python
+workers/workdirs — literally four 8-core executors with no shared
+Spark state) against one: aggregate throughput scales at **0.86**
+efficiency with ~zero hypervisor steal. The box can deliver 4x this
+workload; whatever 8→32 shortfall remains in the single-job numbers
+above is job structure (shared-JVM allocation behavior, stage
+barriers, shuffle), not machine capacity — and it is what this
+round's engine fixes attack (see below).
+
+Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
+(`BENCH/local_cluster.json`) runs the same ONE job on one vs four
+REAL executor JVMs (`local-cluster[1,8]` vs `local-cluster[4,8]`) —
+the literal N-vs-4N-executors shape with cross-JVM shuffle and
+shipped py-files. The pinned 1-core level additionally runs every
+JVM service thread and all Python workers on a single core, so mild
+(1,4) super-linearity is expected and measured; on a real cluster no
+executor runs below one core, making the 4N side the representative
+one.
 {submit_para}
 ## The box's CPU envelope (what any job CAN scale to here)
 
@@ -376,10 +386,10 @@ On a real N→4N executor scale-out, each executor also brings its own
 memory channels, NVMe, and OS page-fault capacity; the single-box
 local[N] stand-in shares all three across every level.
 
-## Engine-side fix this round: heap pre-touch
+## Engine-side fixes, in diagnosis order
 
-Round 1 measured flat-or-worse 8→32 scaling and attributed it to a
-DRAM-bandwidth wall. Re-measurement this round
+**Heap pre-touch.** Round 1 measured flat-or-worse 8→32 scaling and
+attributed it to a DRAM-bandwidth wall. Re-measurement
 (`BENCH/membw.json`: near-linear aggregate bandwidth to 32 streams)
 falsified that explanation on the current box epoch and exposed the
 real cause: the JVM heap grew lazily, and every fresh heap page cost
@@ -388,10 +398,35 @@ threads contending on the process mmap lock — a synthetic
 string-allocation codegen job ran 21.6s at local[32] with a
 lazy-growth heap vs 5.8s pre-touched (3.7x), and the real mention
 stage went from 79.7s (flat vs local[8]) to 28.8s. Fix shipped in
-`cello_spark/session.py`: `-Xms=-Xmx -XX:+AlwaysPreTouch` (+ default
-G1 — with a pre-touched fixed heap, G1/ZGC/sized-ParallelGC measure
-within noise of each other). The round-1 ParallelGCThreads=8 pin
-treated a symptom of the fault storms and is removed.
+`cello_spark/session.py`: `-Xms=-Xmx -XX:+AlwaysPreTouch`.
+
+**Lambda-free n-gram candidate builder.** Per-stage CPU attribution
+(`tools/profile_cpu.py`, jstack sampling in `tools/diag_stacks.py`,
+phase decomposition in `tools/diag_mentions.py`) showed the mention
+stage burning 2.3x the core-seconds at local[32] vs local[8] for
+identical work, concentrated in the n-gram construction. Root cause
+(`tools/diag_ngram_variants.py`): nested higher-order functions
+(transform → sequence → slice/array_join inside a lambda) evaluate
+INTERPRETED per element, and their per-position collection
+allocation anti-scales on a shared heap — while the flat gate
+expression scales at the box envelope. The rewritten operator
+(posexplode → gate → explode(sequence) → top-level slice/array_join,
+one WholeStageCodegen span) costs ~3x less CPU at BOTH levels
+(33 vs 108 core-sec @8; 71 vs 166 @32 on the isolated phase). A GC
+A/B (`tools/diag_ngram_flags.py`) confirmed the allocation pathology
+was G1-specific (ParallelGC halved the inflated phase at 32 cores)
+but ParallelGC ran 24% SLOWER at local[8] on the full pipeline, so
+the plan-level fix was shipped instead of a GC swap that would
+flatter the pair by slowing its baseline.
+
+**Linking-stage byte diet + join shape** (`tools/diag_linked.py`):
+the KG pipeline consumes only the selected labels from linking, so
+the n_labels-wide probs/bins arrays (~20x the label bytes) are no
+longer built, Arrow-transferred, or written
+(`link_documents(emit_scores=False)`); and the mention-gate semi
+join uses SHUFFLE_HASH — sort-merge was sorting the wide features
+side for a join that only needs a hash set of doc_ids (2x the join
+cost at both levels).
 
 ## Measurement fix: warm the parquet-writer path before timing
 
