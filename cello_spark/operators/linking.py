@@ -371,16 +371,23 @@ def link_results_long(linked: DataFrame, labels: list[str]) -> DataFrame:
 def typing_triples(linked: DataFrame) -> DataFrame:
     """(doc, rdf:type, label) for the selected label and its ancestors
     (the reference's ancestor-filled final binary,
-    cello/cello.py:875-891)."""
+    cello/cello.py:875-891).
+
+    No global dedup here: `linked` carries one row per doc_id and
+    final_labels is distinct within a row (np.nonzero column indices),
+    so the output is already distinct — a dropDuplicates would be a
+    pure-overhead full shuffle of every typing triple. array_distinct
+    keeps the within-row guarantee for callers that hand-build rows.
+    The pipeline's triples stage dedups once AFTER canonical rewrite
+    (where collapses can genuinely create duplicates)."""
     return (
         linked.filter(F.col("most_specific") != "")
         .select(
             F.col("doc_id").alias("subj"),
-            F.explode("final_labels").alias("obj"),
+            F.explode(F.array_distinct("final_labels")).alias("obj"),
         )
         .withColumn("pred", F.lit("rdf:type"))
         .select("subj", "pred", "obj")
-        .dropDuplicates()
     )
 
 

@@ -28,6 +28,14 @@ _BLAS_ENV = {
     "OMP_NUM_THREADS": "1",
     "MKL_NUM_THREADS": "1",
     "NUMEXPR_NUM_THREADS": "1",
+    # glibc malloc: numpy batch temporaries (Arrow batches are ~5 MB,
+    # score/reconcile intermediates similar) sit far above the default
+    # 128 KB mmap threshold, so every batch mmap/munmaps its arrays and
+    # re-faults the pages — kernel-side cost that grows with worker
+    # count. Pinning the thresholds keeps freed blocks on the arena
+    # free-list instead (≤128 MB resident per worker, bounded).
+    "MALLOC_MMAP_THRESHOLD_": "134217728",
+    "MALLOC_TRIM_THRESHOLD_": "134217728",
 }
 
 
