@@ -120,13 +120,13 @@ def detect_mentions(
              InSet probes; zero extra operators). Best for ontology
              dictionaries (10³-10⁴ first tokens).
            "join" — posexplode tokens, broadcast-join a (first_token,
-             max_len) table. No driver-side literal, so it scales to
+             lengths) table. No driver-side literal, so it scales to
              arbitrarily large dictionaries (10⁵+ aliases, e.g.
              EFO+DOID+CL+UBERON merged); costs one explode.
            "auto" — "case" below MAX_CASE_GATE_TOKENS, else "join".
-      2. n-grams at surviving positions (lengths 1..the longest alias
-         starting with that token) joined against the full alias
-         dictionary.
+      2. n-grams at surviving positions, built only for the EXACT
+         lengths of aliases starting with that token (not 1..max),
+         joined against the full alias dictionary.
     """
     aliases = alias_dict.select("alias_norm", "term_id").collect()
     spark = documents.sparkSession
@@ -137,16 +137,26 @@ def detect_mentions(
         )
     if max_n is None:
         max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
-    # per-first-token maximum alias length: positions only build
-    # n-grams up to the longest alias that can actually start there —
-    # cuts candidate string construction by the per-token length
-    # profile, not the global max
-    ft_maxlen: dict[str, int] = {}
+    # per-first-token EXACT alias length set: positions only build
+    # n-grams whose length some alias starting with that token actually
+    # has. A token that starts only {2,3}-word aliases never builds the
+    # 1-gram — sequence(1, max_len) would. Candidate string
+    # construction is the stage's dominant allocator, so the exact set
+    # cuts both CPU and the allocation pressure that anti-scales on a
+    # shared heap (~1.5x fewer candidate lengths on the fixture
+    # dictionary, more on real ontologies whose long aliases are rare).
+    ft_lengths: dict[str, set[int]] = {}
     for a in aliases:
         parts = a.alias_norm.split(" ")
-        ft_maxlen[parts[0]] = max(ft_maxlen.get(parts[0], 0), len(parts))
+        if len(parts) <= max_n:
+            ft_lengths.setdefault(parts[0], set()).add(len(parts))
+    if not ft_lengths:
+        return spark.createDataFrame(
+            [],
+            "doc_id string, span_idx int, offset int, alias_norm string, term_id string",
+        )
     if gate == "auto":
-        gate = "case" if len(ft_maxlen) <= MAX_CASE_GATE_TOKENS else "join"
+        gate = "case" if len(ft_lengths) <= MAX_CASE_GATE_TOKENS else "join"
 
     toks = text_spans(documents).select(
         "doc_id",
@@ -173,9 +183,12 @@ def detect_mentions(
         F.posexplode("tokens").alias("pos", "tok"),
     )
     if gate == "case":
-        by_len: dict[int, list[str]] = {}
-        for t, n in ft_maxlen.items():
-            by_len.setdefault(min(n, max_n), []).append(t)
+        # group first tokens by identical length set: a handful of
+        # distinct sets (e.g. {1}, {2,3}, {3,4}) → a short CASE whose
+        # IN lists Catalyst compiles to hash-set InSet probes
+        by_set: dict[tuple[int, ...], list[str]] = {}
+        for t, ls in ft_lengths.items():
+            by_set.setdefault(tuple(sorted(ls)), []).append(t)
 
         def _in_lit(toks_: list[str]) -> str:
             return ", ".join(
@@ -183,31 +196,33 @@ def detect_mentions(
             )
 
         n_cand = "CASE " + " ".join(
-            f"WHEN tok IN ({_in_lit(ts)}) THEN {n}"
-            for n, ts in sorted(by_len.items())
-        ) + " ELSE 0 END"
-        gated = tokpos.withColumn("n_max", F.expr(n_cand)).where(
-            F.col("n_max") >= 1
+            f"WHEN tok IN ({_in_lit(ts)}) THEN array({', '.join(map(str, ls))})"
+            for ls, ts in sorted(by_set.items())
+        ) + " ELSE NULL END"
+        gated = tokpos.withColumn("ns", F.expr(n_cand)).where(
+            F.col("ns").isNotNull()
         )
     elif gate == "join":
         gate_df = spark.createDataFrame(
-            sorted((t, min(n, max_n)) for t, n in ft_maxlen.items()),
-            "tok string, n_max int",
+            sorted(
+                (t, sorted(ls)) for t, ls in ft_lengths.items()
+            ),
+            "tok string, ns array<int>",
         )
         # inner broadcast join IS the gate: non-starting positions drop
         gated = tokpos.join(F.broadcast(gate_df), "tok")
     else:
         raise ValueError(f"unknown gate {gate!r}")
+    # explode the small exact-length array, then a TOP-LEVEL bound
+    # check — no higher-order function, stays in whole-stage codegen
     cands = gated.select(
         "doc_id",
         "span_idx",
         "offset",
         "tokens",
         "pos",
-        F.explode(
-            F.expr("sequence(1, least(n_max, size(tokens) - pos))")
-        ).alias("n"),
-    ).select(
+        F.explode("ns").alias("n"),
+    ).where(F.expr("n <= size(tokens) - pos")).select(
         "doc_id",
         "span_idx",
         "offset",

@@ -36,6 +36,16 @@ _BLAS_ENV = {
     # free-list instead (≤128 MB resident per worker, bounded).
     "MALLOC_MMAP_THRESHOLD_": "134217728",
     "MALLOC_TRIM_THRESHOLD_": "134217728",
+    # pyarrow's DEFAULT pool is jemalloc, which returns freed batch
+    # buffers to the kernel on a decay timer (madvise) — per-batch
+    # page-return + re-fault churn whose TLB-shootdown IPIs cost more
+    # the more cores are running. Route Arrow through the system
+    # (glibc) allocator so the thresholds above govern it too, and
+    # disable jemalloc decay for any component that still uses it.
+    # (Measured on the linked stage at local[32]: ~15% less JVM+sys
+    # CPU; no effect at local[8] — i.e. this is pure scaling tax.)
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+    "MALLOC_CONF": "dirty_decay_ms:-1,muzzy_decay_ms:-1",
 }
 
 

@@ -29,6 +29,11 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 workers = int(sys.argv[1]); n_docs = int(sys.argv[2])
 from pyspark.sql import SparkSession
+from cello_spark.session import _BLAS_ENV
+# same allocator/BLAS pins get_spark applies — set before any JVM
+# spawns so worker daemons and executor JVMs inherit them
+for k, v in _BLAS_ENV.items():
+    os.environ.setdefault(k, v)
 shm = "/dev/shm/kg_bench"
 os.makedirs(shm, exist_ok=True)
 cores_per = {cores_per}
@@ -36,7 +41,7 @@ total = workers * cores_per
 # mirrors cello_spark.session.get_spark, with the executor knobs a
 # spark-submit deployment would set: fixed pre-touched executor heaps
 # (see session.py for the page-fault rationale)
-spark = (SparkSession.builder
+builder = (SparkSession.builder
   .master(f"local-cluster[{{workers}},{{cores_per}},6144]")
   .appName(f"lc_scaling_{{workers}}")
   .config("spark.sql.shuffle.partitions", str(2 * total))
@@ -51,8 +56,10 @@ spark = (SparkSession.builder
           "-XX:+UseG1GC -XX:+AlwaysPreTouch -Xms6g")
   .config("spark.python.worker.reuse", "true")
   .config("spark.ui.enabled", "false")
-  .config("spark.local.dir", shm + "/spark-local")
-  .getOrCreate())
+  .config("spark.local.dir", shm + "/spark-local"))
+for k, v in _BLAS_ENV.items():
+    builder = builder.config(f"spark.executorEnv.{{k}}", v)
+spark = builder.getOrCreate()
 from cello_spark.session import ship_package
 ship_package(spark)
 from cello_spark.plans.kg import build_kg_pipeline
@@ -77,14 +84,18 @@ try:
     pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
                              make_model_weights(onto), make_thresholds(onto))
     t0 = time.monotonic()
-    pipe.run()
+    results = pipe.run()
+    t_run = time.monotonic() - t0
     n = pipe.output("triples").count()
     wall = time.monotonic() - t0
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
+stages = {{r.name: round(r.wall_sec, 2) for r in results}}
+stages["_overhead"] = round(t_run - sum(r.wall_sec for r in results), 2)
+stages["_final_count"] = round(wall - t_run, 2)
 print(json.dumps({{"workers": workers, "cores_total": total,
                   "wall_sec": wall, "triples": n,
-                  "triples_per_sec": n / wall}}))
+                  "triples_per_sec": n / wall, "stages": stages}}))
 spark.stop()
 """
 
