@@ -10,10 +10,11 @@ matrix built from label_graph.source_to_targets at :102-116).
 Here the same projection is computed with Dykstra's alternating
 projections onto the constraint half-spaces, vectorized across a whole
 matrix of samples at once (rows = samples). Determinism: fixed edge
-order (callers pass edges sorted), fixed iteration count (no
-data-dependent early stop), so the result for a given row is identical
-regardless of how rows are batched — a requirement for bit-stable
-output across parallelism levels (local[8] vs local[32]).
+order (callers pass edges sorted) and an EXACT fixed-point early exit
+(break only once a sweep is a provable no-op), so the result for a
+given row is bit-identical to the full iteration budget regardless of
+how rows are batched — a requirement for bit-stable output across
+parallelism levels (local[8] vs local[32]).
 
 numpy-only: no Spark imports (runs in executor workers and the oracle).
 """
@@ -78,19 +79,70 @@ def dykstra_matrix(
     if n_e == 0 or X.size == 0:
         return X
     groups = _color_edges(edge_idx)
+
+    # compiled sweep kernel (bit-identical; see _dykstra_native): the
+    # numpy sweep costs ~10^4 interpreter round trips per chunk on
+    # ontology-sized graphs — the kernel removes that overhead (~10x
+    # on the linking stage's Python CPU) and preserves the exact
+    # op order, so results are bitwise equal and the fallback is
+    # purely a performance difference.
+    from cello_spark.functions._dykstra_native import get_kernel
+
+    lib = get_kernel()
+    if lib is not None:
+        order = np.concatenate(groups)
+        par = np.ascontiguousarray(edge_idx[order, 0], dtype=np.int64)
+        chi = np.ascontiguousarray(edge_idx[order, 1], dtype=np.int64)
+        import ctypes
+
+        dp = ctypes.POINTER(ctypes.c_double)
+        lp = ctypes.POINTER(ctypes.c_longlong)
+        out = np.empty_like(X)
+        for s in range(0, X.shape[0], chunk):
+            XT = np.ascontiguousarray(X[s : s + chunk].T)
+            c = XT.shape[1]
+            corr_p = np.zeros((n_e, c), dtype=np.float64)
+            corr_c = np.zeros((n_e, c), dtype=np.float64)
+            lib.dykstra_sweeps(
+                XT.ctypes.data_as(dp),
+                corr_p.ctypes.data_as(dp),
+                corr_c.ctypes.data_as(dp),
+                par.ctypes.data_as(lp),
+                chi.ctypes.data_as(lp),
+                n_e,
+                c,
+                n_iter,
+            )
+            out[s : s + chunk] = XT.T
+        return out
+
     out = np.empty_like(X)
     for s in range(0, X.shape[0], chunk):
         XT = np.ascontiguousarray(X[s : s + chunk].T)  # (L, c)
         c = XT.shape[1]
         corr_p = np.zeros((n_e, c), dtype=np.float64)
         corr_c = np.zeros((n_e, c), dtype=np.float64)
+        # EXACT early exit, still batch-invariant: a sweep that starts
+        # with all corrections zero and sees no violation is a pure
+        # no-op, and so is every sweep after it — breaking there yields
+        # BIT-IDENTICAL output to running all n_iter sweeps. (A clean
+        # sweep with nonzero entering corrections still absorbs them
+        # into X — X[p] := X[p] + corr — which can introduce new
+        # violations, hence the two-condition check.) Rows never
+        # interact, so the fixed point per row is independent of chunk
+        # and batch composition; ontology-depth DAGs reach it in ~10-30
+        # sweeps, cutting the 200-sweep budget ~10x.
+        corr_zero = True
         for _ in range(n_iter):
+            any_viol = False
             for g in groups:
                 pi = edge_idx[g, 0]
                 ci = edge_idx[g, 1]
                 xp = XT[pi] + corr_p[g]  # (|g|, c) gathers
                 xc = XT[ci] + corr_c[g]
                 viol = xp < xc
+                if viol.any():
+                    any_viol = True
                 m = 0.5 * (xp + xc)
                 new_p = np.where(viol, m, xp)
                 new_c = np.where(viol, m, xc)
@@ -98,6 +150,12 @@ def dykstra_matrix(
                 corr_c[g] = xc - new_c
                 XT[pi] = new_p  # disjoint within a color → safe scatter
                 XT[ci] = new_c
+            if not any_viol:
+                if corr_zero:
+                    break
+                corr_zero = True
+            else:
+                corr_zero = False
         out[s : s + chunk] = XT.T
     return out
 

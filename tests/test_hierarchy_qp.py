@@ -117,3 +117,29 @@ def test_exact_qp_feasible_input_is_fixed_point():
     p = np.array([0.9, 0.5, 0.1])
     np.testing.assert_allclose(exact_projection_qp(p, edge_idx), p)
     np.testing.assert_allclose(dykstra_matrix(p[None, :], edge_idx)[0], p)
+
+
+def test_native_kernel_bitwise_equals_numpy_path():
+    """The compiled sweep kernel (functions/_dykstra_native.py) must be
+    BIT-IDENTICAL to the numpy path — same IEEE op order, FMA
+    contraction disabled — across random DAGs, chunk boundaries, and
+    the early-exit region. Skipped only where no compiler exists."""
+    import cello_spark.functions._dykstra_native as native
+
+    native._tried = False  # fresh probe
+    if native.get_kernel() is None:
+        pytest.skip("no C toolchain available; numpy fallback in use")
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        n = int(rng.integers(4, 40))
+        edge_idx = _random_dag_edges(rng, n, max_edges=min(60, n * 2))
+        if len(edge_idx) == 0:
+            continue
+        P = rng.uniform(0.0, 1.0, size=(int(rng.integers(1, 5000)), n))
+        a = dykstra_matrix(P, edge_idx, chunk=1024)
+        native._lib, native._tried = None, True  # force numpy path
+        try:
+            b = dykstra_matrix(P, edge_idx, chunk=1024)
+        finally:
+            native._tried = False
+        assert np.array_equal(a, b), "native kernel diverged from numpy path"
