@@ -379,11 +379,13 @@ deflates every speedup it anchors.
 local[8] pipelines (disjoint core sets, separate JVMs/Python
 workers/workdirs — literally four 8-core executors with no shared
 Spark state) against one: aggregate throughput scales at
-**{indep_eff}** efficiency with ~zero hypervisor steal. The box can
-deliver 4x this workload; whatever 8→32 shortfall remains in the
-single-job numbers above is job structure (shared-JVM allocation
-behavior, stage barriers, shuffle), not machine capacity — and it is
-what this round's engine fixes attack (see below).
+**{indep_eff}** efficiency with ~zero hypervisor steal. That number
+is the box's ceiling for THIS workload (four copies share DRAM
+bandwidth and the hypervisor CPU scheduler; a real 4N-executor
+cluster shares neither) — the gap between the single-job 8→32 raw
+efficiency above and {indep_eff} is job structure (stage barriers,
+shuffle, shared-JVM allocation), and the gap from {indep_eff} to 1.0
+is the machine, which scale-out removes.
 
 Multi-executor-JVM cross-check: `tools/bench_local_cluster.py`
 (`BENCH/local_cluster.json`) runs the same ONE job on one vs four
@@ -408,10 +410,15 @@ virtualized CPU scheduler allows ANY workload, Spark or not. The
 "efficiency / envelope" is the engine's share of what the box can
 physically deliver — the number that transfers to a real cluster,
 where each executor gets dedicated cores and the envelope is ~1.0.
+The numpy probe — the engine's own compiled Dykstra kernel — sets a
+SECOND, lower ceiling for bandwidth-bound work (independent copies
+share the socket's DRAM channels); the engine's raw efficiency lands
+between the two probes because its stage mix does too.
 
 On a real N→4N executor scale-out, each executor also brings its own
 memory channels, NVMe, and OS page-fault capacity; the single-box
-local[N] stand-in shares all three across every level.
+local[N] stand-in shares all three across every level — neither the
+scheduler ceiling nor the bandwidth ceiling travels to a cluster.
 
 ## Engine-side fixes, in diagnosis order
 
