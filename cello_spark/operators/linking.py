@@ -254,7 +254,16 @@ def link_documents(
     the label columns), and they are re-derivable by re-running the
     scorer. The full schema remains the default for the predict flow,
     whose outputs (reference cello.py probability/binary TSVs) need
-    the scores."""
+    the scores.
+
+    Partition sizing: every mapInPandas task pays ~150 ms of fixed
+    Python overhead (task setup, broadcast unpickle, Arrow stream
+    open/close — measured at 1M docs: 80 small scan partitions cost
+    2x the Python CPU of 16 right-sized ones). Callers feeding many
+    partitions that hold fewer than a few Arrow batches
+    (session.ARROW_MAX_RECORDS rows each) should `coalesce` first —
+    see plans/kg.stage_linked for the sizing rule. Irrelevant at
+    cluster scale, where every scan split holds >>4 batches."""
     spark = features.sparkSession
     bc = spark.sparkContext.broadcast(model)
 

@@ -44,6 +44,13 @@ from cello_spark.sources.ontology import INVERTIBLE_RELS
 
 TERM_PREFIX = "CS:"
 
+# mentioned-doc fraction above which the linked stage scores ALL
+# features (zero-exchange scan into the scorer, narrow post-join)
+# instead of pre-gating the wide features through a shuffle — see
+# stage_linked. Measured breakeven is high: the exchange the dense
+# plan saves is cheap relative to the extra scoring below ~0.9.
+GATE_SELECTIVITY = 0.9
+
 
 # ---------------------------------------------------------------------------
 # driver-side ontology prep (tiny data — no Spark jobs)
@@ -193,17 +200,63 @@ def build_kg_pipeline(
 
     def stage_linked(ctx: dict) -> DataFrame:
         # mention gate: only docs that mention at least one ontology
-        # term get linked. No dropDuplicates on the mention side — the
+        # term get linked. TWO plans, chosen by measured selectivity:
+        #
+        #   sparse (mentioned fraction < GATE_SELECTIVITY): semi-join
+        #     the WIDE features against mentioned doc_ids BEFORE
+        #     scoring — the exchange of the surviving features is paid
+        #     to skip scoring the unmentioned majority. SHUFFLE_HASH on
+        #     the mention side (sort-merge would sort the wide features
+        #     side for a join that only needs a doc_id hash set —
+        #     measured 2x the join cost at both levels); the hash side
+        #     spills if oversized, so this stays safe at 10^12 docs.
+        #
+        #   dense (most docs mentioned — this bench, and any corpus
+        #     pre-filtered upstream): score EVERYTHING — the features
+        #     scan feeds mapInPandas with ZERO exchange — and semi-join
+        #     the NARROW output (doc_id + labels, ~5x smaller than the
+        #     feature vectors) instead. Skipping a 1 GB wide-side
+        #     exchange costs scoring the unmentioned remainder, which
+        #     the compiled kernel makes cheap.
+        #
+        # The selectivity probe is one approx_count_distinct over the
+        # narrow mentions table (already materialized by the previous
+        # stage) against the features row count from parquet metadata —
+        # both O(seconds), both driver-side scalars, mirroring what a
+        # cost-based optimizer would do with table stats.
+        #
+        # No dropDuplicates on the mention side in either plan — the
         # left_semi hash build dedups natively, and the explicit dedup
         # costs a full extra aggregate exchange (measured 15s vs 2s on
-        # 8.5M mentions at local[32])
-        # SHUFFLE_HASH on the mention side: the semi join only needs a
-        # hash set of mentioned doc_ids per partition; the default
-        # sort-merge would sort the WIDE features side too — measured
-        # 2x the join cost at both local[8] and local[32]
-        # (tools/diag_linked.py). Hash side spills if oversized, so
-        # this stays safe at 10^12 docs.
+        # 8.5M mentions at local[32]).
         mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
+        n_docs = features.count()  # parquet metadata count — no scan
+        n_mentioned = (
+            ctx["mentions"]
+            .agg(F.approx_count_distinct("doc_id").alias("n"))
+            .first()["n"]
+        )
+        if n_docs > 0 and n_mentioned / n_docs >= GATE_SELECTIVITY:
+            # right-size the UDF input: each mapInPandas task costs
+            # ~150ms of fixed Python overhead (task setup, broadcast
+            # unpickle, Arrow stream open/close — measured), so many
+            # small scan partitions double the stage's Python CPU.
+            # Shuffle-free coalesce to >=4 Arrow batches per task,
+            # floored at 2x cores so parallelism never starves. (The
+            # sparse plan needs none of this: its exchange already
+            # re-sizes to 2x-cores shuffle partitions. At 100 TB the
+            # scan splits hold >>4 batches each and this is a no-op.)
+            from cello_spark.session import ARROW_MAX_RECORDS
+
+            target = max(
+                2 * spark.sparkContext.defaultParallelism,
+                int(n_docs // (4 * ARROW_MAX_RECORDS)) or 1,
+            )
+            feats_in = features
+            if features.rdd.getNumPartitions() > target:
+                feats_in = features.coalesce(target)
+            linked_all = link_documents(feats_in, model, emit_scores=False)
+            return linked_all.join(mentioned, "doc_id", "left_semi")
         gated = features.join(mentioned, "doc_id", "left_semi")
         # triple emission consumes only the selected labels; the
         # probs/bins arrays are ~20x the bytes and re-derivable —

@@ -281,3 +281,34 @@ def test_canonical_rewrite_dedups_only_where_merges_collide(spark):
     assert got_nomerge.count() == raw.count()
     plan_str = got_nomerge._jdf.queryExecution().optimizedPlan().toString()
     assert "Deduplicate" not in plan_str
+
+
+def test_gate_plans_produce_identical_triples(
+    spark, tmp_path, onto, small_world, monkeypatch
+):
+    """The adaptive mention gate picks between pre-gating the wide
+    features (sparse corpora) and scoring everything + narrow post-join
+    (dense corpora). Both plans must emit the identical triple set."""
+    from cello_spark.plans import kg as kgmod
+
+    docs = spark.createDataFrame(small_world["documents"])
+    feats = spark.createDataFrame(small_world["features"])
+
+    def run_with(threshold: float, tag: str):
+        monkeypatch.setattr(kgmod, "GATE_SELECTIVITY", threshold)
+        p = build_kg_pipeline(
+            spark,
+            str(tmp_path / tag),
+            docs,
+            feats,
+            onto,
+            small_world["weights"],
+            small_world["thresholds"],
+        )
+        p.run()
+        return sorted(tuple(r) for r in p.output("triples").collect())
+
+    dense = run_with(0.0, "dense")    # always score-all + narrow join
+    sparse = run_with(1.1, "sparse")  # always pre-gate wide features
+    assert dense == sparse
+    assert len(dense) > 0
