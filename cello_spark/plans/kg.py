@@ -49,7 +49,11 @@ TERM_PREFIX = "CS:"
 # instead of pre-gating the wide features through a shuffle — see
 # stage_linked. Measured breakeven is high: the exchange the dense
 # plan saves is cheap relative to the extra scoring below ~0.9.
-GATE_SELECTIVITY = 0.9
+# CELLO_GATE_SELECTIVITY overrides (2.0 forces the sparse plan, 0.0
+# forces dense) — a prod knob and the A/B lever for plan benchmarks.
+import os as _os
+
+GATE_SELECTIVITY = float(_os.environ.get("CELLO_GATE_SELECTIVITY", "0.9"))
 
 
 # ---------------------------------------------------------------------------
