@@ -6,10 +6,12 @@
   window. The corpus side never shuffles for scoring (only the final
   per-query top-k shuffles, keyed by query id — tiny).
 - `ivf_build` / `ivf_topk`: IVF (inverted-file) scale path — corpus
-  vectors are assigned to their nearest of C seeded centroids once;
-  queries probe only the closest `n_probe` centroid partitions. At
-  100 TB the assignment is a narrow one-pass job and search touches
-  ~n_probe/C of the data.
+  vectors are assigned once to their nearest of C centroids (default:
+  spherical-k-means fitted on the corpus via the shuffle-free Lloyd
+  pass in operators/clustering.py; `method="seeded"` keeps the random
+  fallback); queries probe only the closest `n_probe` centroid
+  partitions. At 100 TB the assignment is a narrow one-pass job and
+  search touches ~n_probe/C of the data.
 - `embedding_near_dup_pairs`: embedding-cosine near-duplicate pairs via
   the same centroid bucketing (pairs only form within a bucket).
 
@@ -84,47 +86,107 @@ def cosine_topk_bruteforce(
 
 
 def seeded_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
-    """Deterministic unit-norm centroids. (Production would k-means a
-    sample; seeded random hyperplane-ish centroids keep this sandbox
-    deterministic while exercising identical plumbing.)"""
+    """Deterministic unit-norm centroids. (Fallback when the corpus is
+    too small or too skewed to k-means; `kmeans_centroids` is the
+    default quality path.)"""
     rng = np.random.default_rng(seed)
     C = rng.standard_normal((n_centroids, dim))
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def _assign_udf(spark, centroids: np.ndarray, emb_col: str, out_col: str):
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Spherical-k-means centroids over the corpus: L2-normalize the
+    embeddings JVM-side, run the shuffle-free Lloyd pass
+    (operators/clustering.py — map-side partial sums only, the corpus
+    never moves), and re-normalize the centroids to the unit sphere so
+    nearest-centroid-by-dot-product == nearest-by-cosine. At 100 TB the
+    per-iteration cost is one scan + k·d floats per partition to the
+    driver."""
+    from cello_spark.operators.clustering import kmeans_fit
+
+    nrm = _norm(F.col(emb_col))
+    normed = corpus.select(
+        F.col(id_col).alias("item"),
+        F.transform(
+            F.col(emb_col), lambda x: x.cast("double") / (nrm + F.lit(1e-12))
+        ).alias("features"),
+    )
+    C = kmeans_fit(normed, k=n_centroids, n_iter=n_iter, seed=seed)
+    return C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+
+
+def _assign_udf(
+    spark, centroids: np.ndarray, emb_col: str, out_col: str, n_assign: int = 1
+):
+    """n_assign=1: one row per vector, nearest centroid. n_assign>1:
+    the vector is REPLICATED into its n_assign nearest buckets
+    (multi-assignment — border vectors exist in every bucket they are
+    close to, the standard recall lever for bucketed near-dup; costs
+    n_assign× the bucket rows, still linear)."""
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value
+        n = min(n_assign, len(C))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
             Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             sims = Xn @ C.T
-            pdf = pdf.copy()
-            pdf[out_col] = np.argmax(sims, axis=1).astype(np.int32)
-            yield pdf
+            if n == 1:
+                pdf = pdf.copy()
+                pdf[out_col] = np.argmax(sims, axis=1).astype(np.int32)
+                yield pdf
+                continue
+            # top-n centroids per row (order within top-n irrelevant)
+            top = np.argpartition(-sims, n - 1, axis=1)[:, :n].astype(np.int32)
+            rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+            rep[out_col] = top.reshape(-1)
+            yield rep
 
     return assign
 
 
 def ivf_build(
-    corpus: DataFrame, n_centroids: int = 16, seed: int = 42, emb_col: str = "embedding"
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    method: str = "kmeans",  # kmeans | seeded
+    id_col: str = "vec_id",
+    n_assign: int = 1,
 ) -> tuple[DataFrame, np.ndarray]:
-    """Assign each corpus vector to its nearest centroid. Returns
-    (corpus + centroid_id, centroids). One narrow mapInPandas pass; at
-    scale, write the result partitioned by centroid_id so probes prune
-    whole files."""
+    """Assign each corpus vector to its `n_assign` nearest centroids
+    (1 = plain IVF; >1 replicates border vectors into neighboring
+    buckets). Returns (corpus + centroid_id, centroids). One narrow
+    mapInPandas pass; at scale, write the result partitioned by
+    centroid_id so probes prune whole files. `method="kmeans"`
+    (default) fits spherical-k-means centroids on the corpus —
+    data-adapted buckets, higher probe recall than `"seeded"` random
+    hyperplane centroids at the same n_probe."""
     spark = corpus.sparkSession
-    dim = len(corpus.select(emb_col).first()[0])
-    C = seeded_centroids(dim, n_centroids, seed)
+    if method == "kmeans":
+        C = kmeans_centroids(
+            corpus, n_centroids, seed=seed, emb_col=emb_col, id_col=id_col
+        )
+    elif method == "seeded":
+        dim = len(corpus.select(emb_col).first()[0])
+        C = seeded_centroids(dim, n_centroids, seed)
+    else:
+        raise ValueError(f"ivf_build: unknown method {method!r}")
     schema = T.StructType(
         corpus.schema.fields + [T.StructField("centroid_id", T.IntegerType())]
     )
     assigned = ensure_min_partitions(corpus).mapInPandas(
-        _assign_udf(spark, C, emb_col, "centroid_id"), schema
+        _assign_udf(spark, C, emb_col, "centroid_id", n_assign=n_assign), schema
     )
     return assigned, C
 
@@ -253,10 +315,15 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ t).
     Bucketed: pairs form only within a centroid bucket → the self-join
     is per-bucket (quadratic only in bucket size, not corpus size).
-    NOTE: cross-bucket near-dups are missed by design (recall/cost
-    trade, standard IVF caveat); raise n_probe-style duplication of
-    border vectors if recall matters more than cost."""
-    assigned, _ = ivf_build(corpus, n_centroids=n_centroids, seed=seed)
+    Border-pair recall comes from 2-way multi-assignment (each vector
+    lives in its TWO nearest buckets, so a pair straddling one
+    boundary still co-occurs); pairs found in both shared buckets are
+    deduped AFTER the threshold filter, where the row set is already
+    tiny. Pairs whose members share no bucket at all remain missed —
+    the standard IVF recall/cost trade."""
+    assigned, _ = ivf_build(
+        corpus, n_centroids=n_centroids, seed=seed, n_assign=2
+    )
     l = assigned.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("a"),
@@ -273,4 +340,5 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cosine_similarity_col(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+        .dropDuplicates(["a", "b"])
     )

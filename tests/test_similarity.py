@@ -80,6 +80,27 @@ def test_ivf_recall_vs_bruteforce(spark, corpus, queries):
     assert recall >= 0.5, recall
 
 
+def test_ivf_kmeans_centroids_at_least_match_seeded(spark, corpus, queries):
+    """Data-adapted (spherical-k-means) centroids must not lose recall
+    vs the random-hyperplane fallback at a tight probe budget — the
+    point of fitting them (the upgrade round 1 flagged as missing)."""
+    k = 10
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk_bruteforce(corpus, queries, k=k).collect()
+    }
+    recall = {}
+    for method in ("kmeans", "seeded"):
+        assigned, C = S.ivf_build(corpus, n_centroids=8, seed=42, method=method)
+        got = {
+            (r.query_id, r.vec_id)
+            for r in S.ivf_topk(assigned, C, queries, k=k, n_probe=2).collect()
+        }
+        recall[method] = len(got & exact) / len(exact)
+    assert recall["kmeans"] >= recall["seeded"], recall
+    assert recall["kmeans"] >= 0.5, recall
+
+
 def test_ivf_assignment_deterministic(spark, corpus):
     a1, _ = S.ivf_build(corpus, n_centroids=8, seed=42)
     a2, _ = S.ivf_build(corpus, n_centroids=8, seed=42)
