@@ -27,12 +27,23 @@ import numpy as np
 # ontology-depth DAGs (diameter ~10); kept fixed for determinism.
 DYKSTRA_ITERS = 200
 
-# rows processed per cache-resident chunk: working set per chunk =
-# (n_labels + 2*n_edges) * chunk * 8B ≈ 2 MB for ontology-sized label
-# graphs — L2-resident, so the sweep loop never touches DRAM. Without
-# chunking the projection is memory-bandwidth-bound and ANTI-scales
-# with executor parallelism (measured: 1M-doc linking stage 41s @
-# local[8] → 58s @ local[32] before this layout).
+# rows processed per chunk. The working set per chunk is
+# (n_labels + 2*n_edges) * chunk * 8B and the sweep loop re-streams it
+# n_iter times, so the chunk width decides which memory tier feeds the
+# kernel. Two defaults, one per execution path:
+#
+# - native kernel: 256 → ~0.4 MB for ontology-sized label graphs,
+#   resident in a PRIVATE per-core L2. This is the knob that makes the
+#   projection scale with cores: at 2048 (~3 MB) every worker streams
+#   from the SHARED cache/DRAM and 32 concurrent workers collapse to
+#   0.39 8→32 efficiency; at 256 the same pinned-process probe
+#   measures +41% single-stream, +77% aggregate at 32 workers, 0.53
+#   efficiency (best-of-3, tools/bench_cpu_envelope.py methodology).
+#   Columns are independent QP instances, so chunking is bit-neutral.
+# - numpy fallback: 2048 — the fallback pays ~10 interpreter
+#   round-trips per color group per sweep PER CHUNK, so narrow chunks
+#   multiply interpreter overhead it cannot amortize.
+DYKSTRA_CHUNK_NATIVE = 256
 DYKSTRA_CHUNK = 2048
 
 
@@ -63,7 +74,7 @@ def dykstra_matrix(
     P: np.ndarray,  # (n_rows, n_labels) probabilities
     edge_idx: np.ndarray,  # (n_edges, 2) int [parent_col, child_col]
     n_iter: int = DYKSTRA_ITERS,
-    chunk: int = DYKSTRA_CHUNK,
+    chunk: int | None = None,
 ) -> np.ndarray:
     """Euclidean projection of every row of P onto
     {x : x[parent] >= x[child] ∀ edges}. Exact (in the iteration limit)
@@ -89,6 +100,8 @@ def dykstra_matrix(
     from cello_spark.functions._dykstra_native import get_kernel
 
     lib = get_kernel()
+    if chunk is None:
+        chunk = DYKSTRA_CHUNK_NATIVE if lib is not None else DYKSTRA_CHUNK
     if lib is not None:
         order = np.concatenate(groups)
         par = np.ascontiguousarray(edge_idx[order, 0], dtype=np.int64)
