@@ -233,11 +233,26 @@ def detect_mentions(
         cands.ngram == alias_dict.alias_norm,
     ).select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
     if not distinct:
-        # streaming callers skip the dedup — stateful dropDuplicates
-        # on an unbounded stream needs a watermark, and overlapping
-        # alias hits per (span, term) are harmless at-least-once
+        # streaming callers and the KG pipeline skip the dedup — a
+        # stateful dropDuplicates on an unbounded stream needs a
+        # watermark, the pipeline's consumers are dedup-agnostic (see
+        # plans/kg.stage_mentions), and overlapping alias hits per
+        # (span, term) are harmless at-least-once
         return out
-    return out.dropDuplicates(["doc_id", "span_idx", "term_id"])
+    # deterministic dedup: min() aggregates instead of dropDuplicates'
+    # arbitrary-first — output is identical across partitionings and
+    # parallelism levels (offset = the span's offset for every match,
+    # so min is a no-op there; alias_norm = lexicographically first
+    # alias that hit the term). Unreferenced aggregates prune: callers
+    # that drop alias_norm never pay its exchange bytes.
+    return (
+        out.groupBy("doc_id", "span_idx", "term_id")
+        .agg(
+            F.min("offset").alias("offset"),
+            F.min("alias_norm").alias("alias_norm"),
+        )
+        .select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
+    )
 
 
 def mention_counts_salted(mentions: DataFrame, n_salts: int = 32) -> DataFrame:

@@ -197,8 +197,20 @@ def build_kg_pipeline(
         # alias_norm is projected out of the materialization: it is
         # re-derivable (term_id ⋈ alias dictionary) and is the widest
         # column — at 1M docs it is ~40% of the stage's bytes, and the
-        # write is as expensive as the detection itself
-        return detect_mentions(documents, alias_df).select(
+        # write is as expensive as the detection itself.
+        #
+        # distinct=False: this artifact is an OCCURRENCE table (one row
+        # per dictionary match), not a per-(span, term) distinct set.
+        # Every pipeline consumer is dedup-agnostic — the linked
+        # stage's gate is a doc_id semi join (hash build dedups
+        # natively) and the typing triples derive from linked labels —
+        # while the (doc, span, term) dedup costs the stage's single
+        # exchange: +27 JVM core-sec at local[8], +70 at local[32] on
+        # 1M docs (it shuffles every mention and anti-scales, measured
+        # 2.6x). Span-level-distinct consumers dedup downstream where
+        # the semantics actually need it (detect_mentions keeps
+        # distinct=True as its standalone default).
+        return detect_mentions(documents, alias_df, distinct=False).select(
             "doc_id", "span_idx", "offset", "term_id"
         )
 
