@@ -165,23 +165,49 @@ def detect_mentions(
         _mention_tokens("text").alias("tokens"),
     )
     # Candidate construction is shared by both gates and deliberately
-    # lambda-free: posexplode positions, gate them, explode
-    # sequence(1, k), then slice/array_join at the TOP level of the
-    # projection. Nested higher-order functions (the obvious
-    # "transform tokens, build per-position arrays" form) evaluate
-    # INTERPRETED per element; their per-position Scala-collection
-    # allocation anti-scales with task parallelism on a shared heap
-    # (measured ~2.8x core-second inflation local[8]→local[32],
+    # lambda-free: posexplode positions, gate them, explode the exact
+    # length set, then concat at the TOP level of the projection.
+    # Nested higher-order functions (the obvious "transform tokens,
+    # build per-position arrays" form) evaluate INTERPRETED per
+    # element; their per-position Scala-collection allocation
+    # anti-scales with task parallelism on a shared heap (measured
+    # ~2.8x core-second inflation local[8]→local[32],
     # tools/diag_ngram_variants.py). This shape keeps the whole
     # stage — explode → gate → explode → join — in one
     # WholeStageCodegen span with the document side never shuffled.
+    #
+    # The explode ships each position's NEXT max_n-1 tokens alongside
+    # it (arrays_zip of shifted slices, null-padded) instead of
+    # retaining the whole `tokens` array: Tungsten Generate copies
+    # retained columns into every output row, so carrying `tokens`
+    # through two explodes costs O(span_len) bytes PER TOKEN —
+    # quadratic in span length and the stage's dominant allocation —
+    # where the zipped window is O(max_n) per row. n-grams are then a
+    # plain concat_ws over the windowed tokens, no slice/array_join.
+    zip_expr = "arrays_zip(tokens" + "".join(
+        f", slice(tokens, {k + 1}, size(tokens))" for k in range(1, max_n)
+    ) + ")"
     tokpos = toks.select(
         "doc_id",
         "span_idx",
         "offset",
-        "tokens",
-        F.posexplode("tokens").alias("pos", "tok"),
+        F.size("tokens").alias("n_toks"),
+        F.posexplode(F.expr(zip_expr)).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "n_toks",
+        "pos",
+        F.col("w")["tokens"].alias("tok"),
+        *[F.col("w")[str(k)].alias(f"t{k}") for k in range(1, max_n)],
     )
+    window_cols = ["tok"] + [f"t{k}" for k in range(1, max_n)]
+    ngram_case = "CASE n " + " ".join(
+        f"WHEN {k} THEN "
+        + ("tok" if k == 1 else f"concat_ws(' ', {', '.join(window_cols[:k])})")
+        for k in range(1, max_n + 1)
+    ) + " END"
     if gate == "case":
         # group first tokens by identical length set: a handful of
         # distinct sets (e.g. {1}, {2,3}, {3,4}) → a short CASE whose
@@ -214,19 +240,22 @@ def detect_mentions(
     else:
         raise ValueError(f"unknown gate {gate!r}")
     # explode the small exact-length array, then a TOP-LEVEL bound
-    # check — no higher-order function, stays in whole-stage codegen
+    # check — no higher-order function, stays in whole-stage codegen.
+    # The bound check also guarantees every token the selected CASE
+    # branch reads is non-null (nulls only pad past the span's end).
     cands = gated.select(
         "doc_id",
         "span_idx",
         "offset",
-        "tokens",
+        "n_toks",
         "pos",
+        *window_cols,
         F.explode("ns").alias("n"),
-    ).where(F.expr("n <= size(tokens) - pos")).select(
+    ).where(F.expr("n <= n_toks - pos")).select(
         "doc_id",
         "span_idx",
         "offset",
-        F.expr("array_join(slice(tokens, pos + 1, n), ' ')").alias("ngram"),
+        F.expr(ngram_case).alias("ngram"),
     )
     out = cands.join(
         F.broadcast(alias_dict),
