@@ -152,6 +152,53 @@ def kmeans_fit(
     return C
 
 
+def kmeans_fit_sample(
+    features: DataFrame,
+    k: int,
+    n_iter: int = 20,
+    id_col: str = "item",
+    features_col: str = "features",
+    sample_size: int = 8192,
+    seed: int = 42,
+    normalize: bool = False,
+) -> np.ndarray:
+    """Sample-trained k-means: collect the `sample_size` lowest-id rows
+    (deterministic — same global top-k at any parallelism) and run
+    Lloyd driver-side in numpy. This is the standard recipe for
+    codebook-style uses (e.g. IVF centroids, faiss-fashion): centroid
+    QUALITY saturates long before the sample does, and it replaces
+    n_iter distributed passes over the full table with one small
+    top-k collect. Use `kmeans_fit` when the semantics require
+    clustering the full table's mass distribution.
+    `normalize=True` L2-normalizes the sample rows (spherical
+    k-means over directions)."""
+    rows = (
+        features.select(id_col, features_col)
+        .orderBy(id_col)
+        .limit(max(sample_size, k))
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"kmeans_fit_sample: k={k} but only {len(rows)} items")
+    X = np.stack([np.asarray(r[features_col], dtype=np.float64) for r in rows])
+    if normalize:
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    C = kmeanspp_init(X, k, seed)
+    for _ in range(n_iter):
+        a = _assign(X, C)
+        sums = np.zeros_like(C)
+        counts = np.zeros(k)
+        np.add.at(sums, a, X)
+        np.add.at(counts, a, 1.0)
+        nz = counts > 0
+        C_new = C.copy()
+        C_new[nz] = sums[nz] / counts[nz][:, None]
+        if np.allclose(C_new, C, rtol=0.0, atol=1e-12):
+            return C_new
+        C = C_new
+    return C
+
+
 def kmeans_assign(
     features: DataFrame,
     centroids: np.ndarray,

@@ -102,23 +102,24 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     n_iter: int = 10,
 ) -> np.ndarray:
-    """Spherical-k-means centroids over the corpus: L2-normalize the
-    embeddings JVM-side, run the shuffle-free Lloyd pass
-    (operators/clustering.py — map-side partial sums only, the corpus
-    never moves), and re-normalize the centroids to the unit sphere so
-    nearest-centroid-by-dot-product == nearest-by-cosine. At 100 TB the
-    per-iteration cost is one scan + k·d floats per partition to the
-    driver."""
-    from cello_spark.operators.clustering import kmeans_fit
+    """Spherical-k-means centroids, trained on a deterministic sample
+    (operators/clustering.py kmeans_fit_sample — the faiss-style IVF
+    recipe: codebook quality saturates long before the sample does, so
+    training never scans the full corpus; assignment does, once).
+    Embeddings are L2-normalized driver-side and the centroids
+    re-normalized to the unit sphere so nearest-centroid-by-dot ==
+    nearest-by-cosine."""
+    from cello_spark.operators.clustering import kmeans_fit_sample
 
-    nrm = _norm(F.col(emb_col))
-    normed = corpus.select(
-        F.col(id_col).alias("item"),
-        F.transform(
-            F.col(emb_col), lambda x: x.cast("double") / (nrm + F.lit(1e-12))
-        ).alias("features"),
+    C = kmeans_fit_sample(
+        corpus,
+        k=n_centroids,
+        n_iter=n_iter,
+        id_col=id_col,
+        features_col=emb_col,
+        seed=seed,
+        normalize=True,
     )
-    C = kmeans_fit(normed, k=n_centroids, n_iter=n_iter, seed=seed)
     return C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
 
 
