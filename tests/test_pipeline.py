@@ -312,3 +312,36 @@ def test_gate_plans_produce_identical_triples(
     sparse = run_with(1.1, "sparse")  # always pre-gate wide features
     assert dense == sparse
     assert len(dense) > 0
+
+
+def test_triples_identical_across_parallelism(spark, tmp_path, onto, small_world):
+    """North-rule cross-cluster-size equality: the SAME input must emit
+    the IDENTICAL triple set regardless of partitioning or shuffle
+    parallelism (the sandbox stand-in for N vs 4N executors). Runs the
+    full pipeline with deliberately mismatched input partition counts
+    and spark.sql.shuffle.partitions and compares exact triple sets."""
+    base_docs = spark.createDataFrame(small_world["documents"])
+    base_feats = spark.createDataFrame(small_world["features"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_with(n_parts: int, shuffle_parts: str, tag: str):
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+        try:
+            p = build_kg_pipeline(
+                spark,
+                str(tmp_path / tag),
+                base_docs.repartition(n_parts),
+                base_feats.repartition(n_parts),
+                onto,
+                small_world["weights"],
+                small_world["thresholds"],
+            )
+            p.run()
+            return sorted(tuple(r) for r in p.output("triples").collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    narrow = run_with(2, "3", "par_narrow")
+    wide = run_with(17, "29", "par_wide")
+    assert narrow == wide
+    assert len(narrow) > 0
