@@ -40,9 +40,19 @@ def main() -> None:
     for c, lv in prior.get("levels", {}).items():
         if c in cur["levels"]:
             cur["levels"][c]["runs"].extend(lv.get("runs", []))
-            added += len(lv.get("runs", []))
+        else:
+            # a measure-only campaign (bench_scaling --measure N,4N)
+            # rewrites scaling.json with just the measured levels;
+            # re-adopt the prior campaign's other levels wholesale so
+            # the (1,4) pair survives an (8,32)-only window
+            cur["levels"][c] = {"runs": list(lv.get("runs", []))}
+        added += len(lv.get("runs", []))
     for c, lv in cur["levels"].items():
         lv["best"] = min(lv["runs"], key=lambda r: r["wall_sec"])
+    seen_pairs = {tuple(p["levels"]) for p in cur["pairs"]}
+    for p in prior.get("pairs", []):
+        if tuple(p["levels"]) not in seen_pairs:
+            cur["pairs"].append(p)
     pair_summaries = []
     for p in cur["pairs"]:
         n_lo, n_hi = p["levels"]
