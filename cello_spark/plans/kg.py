@@ -147,6 +147,39 @@ def _ensure_parallelism(df: DataFrame, spark: SparkSession, key: str = "doc_id")
     return ensure_min_partitions(df, key=key)
 
 
+def make_linking_model(
+    onto: Ontology,
+    weights_pdf: pd.DataFrame,
+    thresholds_pdf: pd.DataFrame,
+) -> LinkingModel:
+    """LinkingModel wired exactly as the KG pipeline wires it: label
+    DAG restricted to is_a edges between model labels, qualifier set
+    from the fixture suffixes. Shared by the batch pipeline and the
+    streaming incremental path so both link with the same model."""
+    label_set = set(onto.labels)
+    label_edges = [
+        (c, p)
+        for c, p, r in pd.concat([onto.edges, onto.patch_edges])[
+            ["src", "dst", "rel"]
+        ].itertuples(index=False)
+        if r == "is_a" and c in label_set and p in label_set
+    ]
+    qualifiers = {term_id(s) for s in QUALIFIER_SUFFIXES}
+    return LinkingModel.from_tables(
+        weights_pdf, thresholds_pdf, label_edges, qualifier_labels=qualifiers
+    )
+
+
+def merged_term_set(canonical_map: pd.DataFrame, term_prefix: str = TERM_PREFIX) -> list[str]:
+    """Terms whose canonicalization MERGES identities (map to a
+    different term, or are such a merge's target): only triples
+    touching these can become duplicates under the canonical rewrite —
+    see canonical_rewrite_triples."""
+    terms = canonical_map[canonical_map.node.str.startswith(term_prefix)]
+    m = terms[terms.node != terms.canonical]
+    return sorted(set(m.node) | set(m.canonical))
+
+
 def build_kg_pipeline(
     spark: SparkSession,
     workdir: str,
@@ -160,18 +193,7 @@ def build_kg_pipeline(
     documents = _ensure_parallelism(documents, spark)
     features = _ensure_parallelism(features, spark)
     prep = prepare_ontology(onto)
-    label_set = set(onto.labels)
-    label_edges = [
-        (c, p)
-        for c, p, r in pd.concat([onto.edges, onto.patch_edges])[
-            ["src", "dst", "rel"]
-        ].itertuples(index=False)
-        if r == "is_a" and c in label_set and p in label_set
-    ]
-    qualifiers = {term_id(s) for s in QUALIFIER_SUFFIXES}
-    model = LinkingModel.from_tables(
-        weights_pdf, thresholds_pdf, label_edges, qualifier_labels=qualifiers
-    )
+    model = make_linking_model(onto, weights_pdf, thresholds_pdf)
 
     pipe = Pipeline(spark, workdir)
 
@@ -283,14 +305,7 @@ def build_kg_pipeline(
         # skip their Arrow transfer and parquet write entirely
         return link_documents(gated, model, emit_scores=False)
 
-    # terms whose canonicalization MERGES identities (map to a
-    # different term, or are such a merge's target): only triples
-    # touching these can become duplicates under the rewrite — see
-    # canonical_rewrite_triples
-    _cm = prep["canonical_map"]
-    _terms = _cm[_cm.node.str.startswith(TERM_PREFIX)]
-    _m = _terms[_terms.node != _terms.canonical]
-    merged_terms = sorted(set(_m.node) | set(_m.canonical))
+    merged_terms = merged_term_set(prep["canonical_map"])
 
     def stage_triples(ctx: dict) -> DataFrame:
         raw = ctx["onto_triples"].unionByName(typing_triples(ctx["linked"]))

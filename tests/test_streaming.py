@@ -62,6 +62,76 @@ def test_incremental_ingest_exactly_once(spark, world, tmp_path):
     assert any(d >= "doc_00001000" for d in docs_seen)  # batch 2
 
 
+def test_incremental_kg_matches_batch(spark, onto, tmp_path):
+    """End-to-end incremental KG construction over multiple micro-
+    batches and a second catch-up invocation produces EXACTLY the batch
+    pipeline's triple set on the same corpus (onto layer + canonically
+    rewritten typing triples) — the doc-locality argument in
+    run_incremental_kg's docstring, pinned."""
+    import pandas as pd
+
+    from cello_spark.plans.kg import build_kg_pipeline
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_thresholds,
+    )
+    from cello_spark.streaming.ingest import incremental_triples, run_incremental_kg
+
+    weights, thresholds = make_model_weights(onto), make_thresholds(onto)
+    d1, f1, _ = make_documents(onto, n_docs=60, seed=21)
+    d2, f2, _ = make_documents(onto, n_docs=40, seed=22, id_offset=1000)
+    d3, f3, _ = make_documents(onto, n_docs=30, seed=23, id_offset=2000)
+
+    in_dir = str(tmp_path / "docs")
+    feats_path = str(tmp_path / "features")
+    work = str(tmp_path / "inc")
+    # the upstream feature table covers the whole corpus
+    spark.createDataFrame(pd.concat([f1, f2, f3])).coalesce(2).write.parquet(
+        feats_path
+    )
+
+    # two file drops → first invocation; max_files_per_trigger=1 forces
+    # one micro-batch per file so the doc-locality argument is
+    # exercised across REAL batch boundaries, not one catch-all batch
+    spark.createDataFrame(d1).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(d2).coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental_kg(
+        spark, in_dir, work, onto, weights, thresholds, feats_path,
+        max_files_per_trigger=1,
+    )
+    mid = incremental_triples(spark, work).count()
+    assert mid > 0
+
+    # a third drop lands → second catch-up run processes ONLY it
+    spark.createDataFrame(d3).coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental_kg(
+        spark, in_dir, work, onto, weights, thresholds, feats_path,
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in incremental_triples(spark, work).collect()
+    }
+    assert len(got) > mid
+
+    batch_pipe = build_kg_pipeline(
+        spark,
+        str(tmp_path / "batch"),
+        spark.createDataFrame(pd.concat([d1, d2, d3])),
+        spark.read.parquet(feats_path),
+        onto,
+        weights,
+        thresholds,
+    )
+    batch_pipe.run()
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in batch_pipe.output("triples").collect()
+    }
+    assert got == want
+
+
 def test_streaming_preserves_span_invariant(spark, world, tmp_path):
     """Documents are untouched by ingest: the mentions side table is
     additive; re-reading the input preserves (kind, text, media_ref,
