@@ -327,6 +327,8 @@ def canonical_rewrite_triples(
     raw: DataFrame,  # (subj, pred, obj) — DISTINCT by construction
     canonical_map: DataFrame,  # (node, canonical) — dict-sized
     merged_terms: list[str],  # terms that merge under canonicalization
+    max_literal_map: int = 128,
+    term_prefix: str = TERM_PREFIX,
 ) -> DataFrame:
     """Rewrite subj/obj to canonical ids and dedup ONLY where the
     rewrite can create duplicates.
@@ -344,26 +346,58 @@ def canonical_rewrite_triples(
     `dropDuplicates` — previously a full shuffle of every triple, the
     dominant cost of this stage — shrinks to a dedup over the
     merge-affected slice, which is empty for ontologies with no
-    synonym merges and <<1% of triples otherwise."""
-    subj_map = F.broadcast(
-        canonical_map.select(
-            F.col("node").alias("subj"), F.col("canonical").alias("subj_c")
-        )
+    synonym merges and <<1% of triples otherwise.
+
+    Rewrite shape: triple subjects/objects are doc ids or term ids by
+    construction, so only the map's TERM-KEYED non-identity slice
+    (node != canonical, node startswith term_prefix — i.e. the merge
+    sources; alias-string and xref keys can never hit a triple) is what
+    the rewrite actually applies. Ontology merge sets are tens of
+    entries, so when that slice fits `max_literal_map` the rewrite
+    compiles to a constant-folded literal-map lookup (whole-stage
+    codegen, zero per-row allocation, no join) instead of two broadcast
+    hash joins over every triple — and when the slice is EMPTY (no
+    synonym merges, the common case) the stage is a provable identity
+    and does no per-row work at all. Above the cap (a corpus-scale
+    canonical map, e.g. doc-entity canonicalization) it falls back to
+    broadcast joins over the restricted slice, the right plan at that
+    size."""
+    nonid = canonical_map.filter(
+        (F.col("node") != F.col("canonical"))
+        & F.col("node").startswith(term_prefix)
     )
-    obj_map = F.broadcast(
-        canonical_map.select(
-            F.col("node").alias("obj"), F.col("canonical").alias("obj_c")
+    head = nonid.limit(max_literal_map + 1).collect()
+    if len(head) <= max_literal_map:
+        if not head:
+            return raw  # identity map: nothing rewrites, nothing merges
+        lit = F.create_map(
+            *[F.lit(x) for r in head for x in (r.node, r.canonical)]
         )
-    )
-    rewritten = (
-        raw.join(subj_map, "subj", "left")
-        .join(obj_map, "obj", "left")
-        .select(
-            F.coalesce("subj_c", "subj").alias("subj"),
+        rewritten = raw.select(
+            F.coalesce(F.try_element_at(lit, F.col("subj")), F.col("subj")).alias("subj"),
             "pred",
-            F.coalesce("obj_c", "obj").alias("obj"),
+            F.coalesce(F.try_element_at(lit, F.col("obj")), F.col("obj")).alias("obj"),
         )
-    )
+    else:
+        subj_map = F.broadcast(
+            nonid.select(
+                F.col("node").alias("subj"), F.col("canonical").alias("subj_c")
+            )
+        )
+        obj_map = F.broadcast(
+            nonid.select(
+                F.col("node").alias("obj"), F.col("canonical").alias("obj_c")
+            )
+        )
+        rewritten = (
+            raw.join(subj_map, "subj", "left")
+            .join(obj_map, "obj", "left")
+            .select(
+                F.coalesce("subj_c", "subj").alias("subj"),
+                "pred",
+                F.coalesce("obj_c", "obj").alias("obj"),
+            )
+        )
     if not merged_terms:
         return rewritten
     affected = F.col("subj").isin(merged_terms) | F.col("obj").isin(
