@@ -267,6 +267,14 @@ def build_kg_pipeline(
         # left_semi hash build dedups natively, and the explicit dedup
         # costs a full extra aggregate exchange (measured 15s vs 2s on
         # 8.5M mentions at local[32]).
+        #
+        # Broadcasting the mention side instead (zero exchange on both
+        # sides) was measured and REJECTED at corpus scale: collecting
+        # and hash-building 4.5M doc_ids on the driver is ~15-20s of
+        # serial time — the full stage ran 25.6s vs 10.5s at local[32]
+        # (32.6 vs 15.6 at local[8]) despite lower aggregate JVM CPU.
+        # Broadcast gates only pay when the mentioned set is dict-sized
+        # (the streaming micro-batch path, where it IS used).
         mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
         n_docs = features.count()  # parquet metadata count — no scan
         n_mentioned = (

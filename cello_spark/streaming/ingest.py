@@ -202,8 +202,14 @@ def run_incremental_kg(
         mentions = detect_mentions(batch_docs, alias_df, distinct=False)
         # micro-batches are small relative to the corpus → always the
         # sparse gate: semi-join the wide features down to this batch's
-        # mentioned docs before scoring (see plans/kg.py stage_linked)
-        mentioned = mentions.select("doc_id").hint("SHUFFLE_HASH")
+        # mentioned docs before scoring (see plans/kg.py stage_linked).
+        # BROADCAST, not SHUFFLE_HASH: a micro-batch's mentioned set is
+        # bounded by max_files_per_trigger (dict-sized), so the
+        # broadcast build is cheap and the wide feature table is
+        # neither shuffled nor sorted (the batch pipeline's gate keeps
+        # SHUFFLE_HASH because its mentioned set is corpus-sized —
+        # see the measured rejection in plans/kg.py stage_linked)
+        mentioned = F.broadcast(mentions.select("doc_id"))
         gated = (
             sess.read.parquet(features_path)
             .join(mentioned, "doc_id", "left_semi")
