@@ -236,99 +236,155 @@ def build_kg_pipeline(
             "doc_id", "span_idx", "offset", "term_id"
         )
 
-    def stage_linked(ctx: dict) -> DataFrame:
-        # mention gate: only docs that mention at least one ontology
-        # term get linked. TWO plans, chosen by measured selectivity:
-        #
-        #   sparse (mentioned fraction < GATE_SELECTIVITY): semi-join
-        #     the WIDE features against mentioned doc_ids BEFORE
-        #     scoring — the exchange of the surviving features is paid
-        #     to skip scoring the unmentioned majority. SHUFFLE_HASH on
-        #     the mention side (sort-merge would sort the wide features
-        #     side for a join that only needs a doc_id hash set —
-        #     measured 2x the join cost at both levels); the hash side
-        #     spills if oversized, so this stays safe at 10^12 docs.
-        #
-        #   dense (most docs mentioned — this bench, and any corpus
-        #     pre-filtered upstream): score EVERYTHING — the features
-        #     scan feeds mapInPandas with ZERO exchange — and semi-join
-        #     the NARROW output (doc_id + labels, ~5x smaller than the
-        #     feature vectors) instead. Skipping a 1 GB wide-side
-        #     exchange costs scoring the unmentioned remainder, which
-        #     the compiled kernel makes cheap.
-        #
-        # The selectivity probe is one approx_count_distinct over the
-        # narrow mentions table (already materialized by the previous
-        # stage) against the features row count from parquet metadata —
-        # both O(seconds), both driver-side scalars, mirroring what a
-        # cost-based optimizer would do with table stats.
-        #
-        # No dropDuplicates on the mention side in either plan — the
-        # left_semi hash build dedups natively, and the explicit dedup
-        # costs a full extra aggregate exchange (measured 15s vs 2s on
-        # 8.5M mentions at local[32]).
-        #
-        # Broadcasting the mention side instead (zero exchange on both
-        # sides) was measured and REJECTED at corpus scale: collecting
-        # and hash-building 4.5M doc_ids on the driver is ~15-20s of
-        # serial time — the full stage ran 25.6s vs 10.5s at local[32]
-        # (32.6 vs 15.6 at local[8]) despite lower aggregate JVM CPU.
-        # Broadcast gates only pay when the mentioned set is dict-sized
-        # (the streaming micro-batch path, where it IS used).
-        mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
-        n_docs = features.count()  # parquet metadata count — no scan
-        n_mentioned = (
-            ctx["mentions"]
-            .agg(F.approx_count_distinct("doc_id").alias("n"))
-            .first()["n"]
+    # mention gate: only docs that mention at least one ontology term
+    # contribute typing triples. TWO plans, chosen by sampled density:
+    #
+    #   sparse (mentioned fraction < GATE_SELECTIVITY): the linked
+    #     stage semi-joins the WIDE features against mentioned doc_ids
+    #     BEFORE scoring — the exchange of the surviving features is
+    #     paid to skip scoring the unmentioned majority. SHUFFLE_HASH
+    #     on the mention side (sort-merge would sort the wide features
+    #     side for a join that only needs a doc_id hash set — measured
+    #     2x the join cost at both levels); the hash side spills if
+    #     oversized, so this stays safe at 10^12 docs. linked depends
+    #     on mentions and the stages serialize.
+    #
+    #   dense (most docs mentioned — this bench, and any corpus
+    #     pre-filtered upstream): score EVERYTHING — the features scan
+    #     feeds mapInPandas with ZERO exchange and ZERO dependency on
+    #     the mentions stage, so mention detection (documents input)
+    #     and scoring (features input) run CONCURRENTLY, packing each
+    #     other's ramp/tail/straggler idle; the gate semi-join moves to
+    #     the triples stage, on the NARROW linked rows (doc_id +
+    #     labels, ~5x smaller than the feature vectors).
+    #
+    # The density probe samples a few thousand documents at build time
+    # (same stats role as a CBO's ANALYZE sample; limit() keeps it one
+    # sub-second job). A forced threshold (<=0 dense, >1 sparse — the
+    # CELLO_GATE_SELECTIVITY env contract) skips the probe entirely.
+    #
+    # No dropDuplicates on the mention side in either plan — the
+    # left_semi hash build dedups natively, and the explicit dedup
+    # costs a full extra aggregate exchange (measured 15s vs 2s on
+    # 8.5M mentions at local[32]).
+    #
+    # Broadcasting the mention side instead (zero exchange on both
+    # sides) was measured and REJECTED at corpus scale: collecting
+    # and hash-building 4.5M doc_ids on the driver is ~15-20s of
+    # serial time — the full stage ran 25.6s vs 10.5s at local[32]
+    # (32.6 vs 15.6 at local[8]) despite lower aggregate JVM CPU.
+    # Broadcast gates only pay when the mentioned set is dict-sized
+    # (the streaming micro-batch path, where it IS used).
+    if GATE_SELECTIVITY <= 0.0:
+        dense = True
+    elif GATE_SELECTIVITY > 1.0:
+        dense = False
+    else:
+        dense = (
+            estimate_mention_density(
+                documents, spark.createDataFrame(prep["alias_dict"])
+            )
+            >= GATE_SELECTIVITY
         )
-        if n_docs > 0 and n_mentioned / n_docs >= GATE_SELECTIVITY:
+
+    def stage_linked(ctx: dict) -> DataFrame:
+        # triple emission consumes only the selected labels; the
+        # probs/bins arrays are ~20x the bytes and re-derivable —
+        # emit_scores=False skips their Arrow transfer and parquet
+        # write entirely
+        if dense:
             # right-size the UDF input: each mapInPandas task costs
             # ~150ms of fixed Python overhead (task setup, broadcast
             # unpickle, Arrow stream open/close — measured), so many
             # small scan partitions double the stage's Python CPU.
-            # Shuffle-free coalesce to >=4 Arrow batches per task,
-            # floored at 2x cores so parallelism never starves. (The
-            # sparse plan needs none of this: its exchange already
-            # re-sizes to 2x-cores shuffle partitions. At 100 TB the
-            # scan splits hold >>4 batches each and this is a no-op.)
+            # Shuffle-free coalesce into core-aligned waves: up to 3
+            # waves of tasks (fewer tasks → less fixed py overhead —
+            # measured 12% on the stage at local[8] vs batch-count-
+            # derived task counts), floored at 2x cores so parallelism
+            # never starves, capped by the ≥4-Arrow-batch task size
+            # when the input is small. (The sparse plan needs none of
+            # this: its exchange already re-sizes to 2x-cores shuffle
+            # partitions. At 100 TB the scan splits hold >>4 batches
+            # each and this is a no-op.)
             from cello_spark.session import ARROW_MAX_RECORDS
 
-            # core-aligned waves: up to 3 waves of tasks (fewer tasks →
-            # less fixed py overhead — measured 12% on the stage at
-            # local[8] vs batch-count-derived task counts), floored at
-            # 2x cores so parallelism never starves, capped by the
-            # ≥4-Arrow-batch task size when the input is small
+            n_docs = features.count()  # parquet metadata count — no scan
             par = spark.sparkContext.defaultParallelism
             max_parts = int(n_docs // (4 * ARROW_MAX_RECORDS)) or 1
             target = max(2 * par, min(3 * par, max_parts))
             feats_in = features
             if features.rdd.getNumPartitions() > target:
                 feats_in = features.coalesce(target)
-            linked_all = link_documents(feats_in, model, emit_scores=False)
-            return linked_all.join(mentioned, "doc_id", "left_semi")
+            return link_documents(feats_in, model, emit_scores=False)
+        mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
         gated = features.join(mentioned, "doc_id", "left_semi")
-        # triple emission consumes only the selected labels; the
-        # probs/bins arrays are ~20x the bytes and re-derivable —
-        # skip their Arrow transfer and parquet write entirely
         return link_documents(gated, model, emit_scores=False)
 
     merged_terms = merged_term_set(prep["canonical_map"])
 
     def stage_triples(ctx: dict) -> DataFrame:
-        raw = ctx["onto_triples"].unionByName(typing_triples(ctx["linked"]))
+        linked = ctx["linked"]
+        if dense:
+            # the mention gate, applied to the NARROW linked rows (the
+            # dense linked stage scored every doc so it could run
+            # concurrently with mention detection)
+            mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
+            linked = linked.join(mentioned, "doc_id", "left_semi")
+        raw = ctx["onto_triples"].unionByName(typing_triples(linked))
         return canonical_rewrite_triples(raw, ctx["canonical_map"], merged_terms)
 
+    # CELLO_STAGE_OVERLAP=0 forces sequential stage execution (deps =
+    # all earlier stages) with identical stage bodies — the A/B lever
+    # for the overlap-vs-contention tradeoff on a shared-memory box
+    overlap = _os.environ.get("CELLO_STAGE_OVERLAP", "1") != "0"
+    if overlap:
+        triples_deps = ["onto_triples", "linked", "canonical_map"] + (
+            ["mentions"] if dense else []
+        )
+        deps = {
+            "ontology": [],
+            "closure": [],
+            "onto_triples": [],
+            "mentions": [],
+            "linked": [] if dense else ["mentions"],
+            "canonical_map": [],
+            "triples": triples_deps,
+        }
+    else:
+        deps = {}
     (
-        pipe.add_stage("ontology", stage_ontology, tiny=True)
-        .add_stage("closure", stage_closure, tiny=True)
-        .add_stage("onto_triples", stage_onto_triples, tiny=True)
-        .add_stage("mentions", stage_mentions)
-        .add_stage("linked", stage_linked)
-        .add_stage("canonical_map", stage_canonical_map, tiny=True)
-        .add_stage("triples", stage_triples)
+        pipe.add_stage("ontology", stage_ontology, tiny=True, deps=deps.get("ontology"))
+        .add_stage("closure", stage_closure, tiny=True, deps=deps.get("closure"))
+        .add_stage("onto_triples", stage_onto_triples, tiny=True, deps=deps.get("onto_triples"))
+        .add_stage("mentions", stage_mentions, deps=deps.get("mentions"))
+        .add_stage("linked", stage_linked, deps=deps.get("linked"))
+        .add_stage("canonical_map", stage_canonical_map, tiny=True, deps=deps.get("canonical_map"))
+        .add_stage("triples", stage_triples, deps=deps.get("triples"))
     )
     return pipe
+
+
+def estimate_mention_density(
+    documents: DataFrame, alias_df: DataFrame, sample_docs: int = 4096
+) -> float:
+    """Fraction of documents with ≥1 dictionary mention, estimated on a
+    limit() sample — the table-stats probe behind the gate-plan choice
+    (a CBO would read the same number from ANALYZE statistics).
+    limit() is the cheapest sample (first partitions only); its bias is
+    acceptable for a one-bit plan decision with a conservative 0.9
+    threshold, and corpora skewed enough to defeat it can force a plan
+    via CELLO_GATE_SELECTIVITY."""
+    sample = documents.select("doc_id", "spans").limit(sample_docs)
+    n = sample.count()
+    if n == 0:
+        return 0.0
+    n_mentioned = (
+        detect_mentions(sample, alias_df, distinct=False)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    return n_mentioned / n
 
 
 def canonical_rewrite_triples(

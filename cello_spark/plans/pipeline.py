@@ -9,6 +9,16 @@ granularity, per-partition lineage + metrics"):
   entry is appended to ``<workdir>/manifest.json`` with row count, wall
   time, and partition-level lineage rows (partition id → row count)
   written to ``<workdir>/<stage>/_lineage``.
+- Stages declare their inputs (``deps=[...]``); stages whose deps are
+  satisfied run CONCURRENTLY, each submitting its write job from its
+  own driver thread — Spark's scheduler backfills idle task slots of
+  one job with tasks of the other, so two independent scan-heavy
+  stages (e.g. mention detection over documents and feature scoring
+  over features) pack each other's ramp-up/tail/straggler idle instead
+  of serializing it. ``deps=None`` (the default) means "all earlier
+  stages", which degenerates to exactly the old sequential behavior.
+  The manifest/resume contract is unchanged: each stage still commits
+  atomically and independently.
 - The write goes to a temp dir and is atomically renamed; the manifest
   entry is the commit point. On rerun, stages whose manifest entry is
   'complete' and whose data dir exists are LOADED, not recomputed —
@@ -22,7 +32,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -41,12 +53,16 @@ class StageResult:
 class Pipeline:
     spark: SparkSession
     workdir: str
-    stages: list[tuple[str, Callable[[dict], "DataFrame"], bool]] = field(
-        default_factory=list
-    )
+    stages: list[
+        tuple[str, Callable[[dict], "DataFrame"], bool, list[str] | None]
+    ] = field(default_factory=list)
 
     def add_stage(
-        self, name: str, fn: Callable[[dict], DataFrame], tiny: bool = False
+        self,
+        name: str,
+        fn: Callable[[dict], DataFrame],
+        tiny: bool = False,
+        deps: list[str] | None = None,
     ) -> "Pipeline":
         """`tiny=True` marks a driver-resident stage (ontology-sized
         data): its function returns a pandas DataFrame which is written
@@ -54,8 +70,13 @@ class Pipeline:
         same manifest/lineage/resume contract. Each regular stage costs
         several driver↔cluster round trips (write job + lineage
         aggregate + count); for KB-sized stages that overhead dwarfs
-        the work and taxes the scaling benchmark's fixed-cost floor."""
-        self.stages.append((name, fn, tiny))
+        the work and taxes the scaling benchmark's fixed-cost floor.
+
+        `deps` names the stages whose ctx outputs this stage reads.
+        None (default) = all stages added before it (sequential). A
+        stage runs as soon as its deps complete, concurrently with any
+        other ready stage."""
+        self.stages.append((name, fn, tiny, deps))
         return self
 
     # -- manifest ----------------------------------------------------------
@@ -89,23 +110,49 @@ class Pipeline:
     def run(self, ctx: dict | None = None, stop_after: str | None = None) -> list[StageResult]:
         """Run all stages; previously completed stages are loaded from
         their materialized output. `stop_after` aborts the pipeline
-        after the named stage completes (for resume tests). The running
-        `ctx` maps stage name → its output DataFrame; stage functions
-        read their inputs from it."""
+        after the named stage completes; with concurrent stages this is
+        honored by restricting the run to the list prefix ending at
+        that stage (deps always point earlier in the list, so the
+        prefix is self-contained). The running `ctx` maps stage name →
+        its output DataFrame; stage functions read their inputs from
+        it. Stages whose declared deps are satisfied execute
+        concurrently, each on its own driver thread; the manifest is
+        updated under a lock, one atomic commit per stage, exactly as
+        in sequential execution."""
         os.makedirs(self.workdir, exist_ok=True)
         manifest = self._load_manifest()
         ctx = dict(ctx or {})
-        results: list[StageResult] = []
-        for name, fn, tiny in self.stages:
+        stages = self.stages
+        if stop_after is not None:
+            for i, (name, _, _, _) in enumerate(stages):
+                if name == stop_after:
+                    stages = stages[: i + 1]
+                    break
+        names = [s[0] for s in stages]
+        deps_of = {
+            name: (list(deps) if deps is not None else names[:i])
+            for i, (name, _, _, deps) in enumerate(stages)
+        }
+        for name, deps in deps_of.items():
+            missing = [d for d in deps if d not in names and d not in ctx]
+            if missing:
+                raise ValueError(f"stage {name!r}: unknown deps {missing}")
+
+        lock = threading.Lock()
+        results: dict[str, StageResult] = {}
+
+        def exec_stage(name: str, fn, tiny: bool) -> None:
             sdir = self._stage_dir(name)
             data_dir = os.path.join(sdir, "data")
             entry = manifest["stages"].get(name)
             if entry and entry.get("status") == "complete" and os.path.exists(data_dir):
-                ctx[name] = self.spark.read.parquet(data_dir).drop("__pid")
-                results.append(
-                    StageResult(name, entry["rows"], entry["wall_sec"], skipped=True)
-                )
-                continue
+                out = self.spark.read.parquet(data_dir).drop("__pid")
+                with lock:
+                    ctx[name] = out
+                    results[name] = StageResult(
+                        name, entry["rows"], entry["wall_sec"], skipped=True
+                    )
+                return
             t0 = time.monotonic()
             df = fn(ctx)
             tmp_dir = os.path.join(sdir, "_tmp_data")
@@ -128,19 +175,57 @@ class Pipeline:
                 os.replace(tmp_dir, data_dir)
                 rows = self._write_lineage_from_footers(name, sdir, data_dir)
             wall = time.monotonic() - t0
-            ctx[name] = self.spark.read.parquet(data_dir).drop("__pid")
-            manifest["stages"][name] = {
-                "status": "complete",
-                "rows": rows,
-                "wall_sec": wall,
-                "output": data_dir,
-                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            self._save_manifest(manifest)
-            results.append(StageResult(name, rows, wall, skipped=False))
-            if stop_after == name:
-                break
-        return results
+            out = self.spark.read.parquet(data_dir).drop("__pid")
+            with lock:
+                ctx[name] = out
+                manifest["stages"][name] = {
+                    "status": "complete",
+                    "rows": rows,
+                    "wall_sec": wall,
+                    "output": data_dir,
+                    "completed_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                }
+                self._save_manifest(manifest)
+                results[name] = StageResult(name, rows, wall, skipped=False)
+
+        pending = {name: (fn, tiny) for name, fn, tiny, _ in stages}
+        done: set[str] = set()
+        first_error: Exception | None = None
+        with ThreadPoolExecutor(max_workers=max(1, len(stages))) as ex:
+            futures: dict = {}
+            while pending or futures:
+                if first_error is None:
+                    ready = [
+                        n
+                        for n in list(pending)
+                        if all(d in done or d in ctx for d in deps_of[n])
+                    ]
+                    for n in ready:
+                        fn, tiny = pending.pop(n)
+                        futures[ex.submit(exec_stage, n, fn, tiny)] = n
+                if not futures:
+                    if first_error is not None:
+                        raise first_error
+                    if pending:  # pragma: no cover - defensive
+                        raise ValueError(
+                            f"deps never satisfiable for stages {sorted(pending)}"
+                        )
+                    break
+                finished, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for f in finished:
+                    n = futures.pop(f)
+                    err = f.exception()
+                    if err is not None:
+                        # stop launching new stages; let in-flight ones
+                        # drain, then surface the first failure
+                        if first_error is None:
+                            first_error = err
+                        pending.clear()
+                    else:
+                        done.add(n)
+        return [results[n] for n in names if n in results]
 
     def _write_lineage_from_footers(
         self, name: str, sdir: str, data_dir: str
@@ -221,7 +306,7 @@ class Pipeline:
         """Union of all stages' per-partition lineage rows."""
         paths = [
             os.path.join(self._stage_dir(name), "_lineage")
-            for name, _, _ in self.stages
+            for name, _, _, _ in self.stages
             if os.path.exists(os.path.join(self._stage_dir(name), "_lineage"))
         ]
         return self.spark.read.parquet(*paths)
