@@ -482,6 +482,38 @@ exact: candidate n-grams are built only for the token-lengths that
 actually occur among aliases starting with the gated token, not
 1..max.
 
+**Allocation-free, identity-skipping canonical rewrite**
+(`tools/diag_triples.py`): typing_triples wrapped final_labels in
+array_distinct — an eval-mode expression that allocates a hash set
+PER ROW and anti-scales on the shared heap (8.4→30.0 core-sec 8→32
+vs 0.7→1.1 for the plain explode) — for a distinctness guarantee
+link_documents already provides; the guard is now opt-in. And the
+canonical rewrite ran two broadcast hash joins over every triple,
+although only TERM-keyed non-identity map entries (merge sources)
+can ever hit a triple: the rewrite now restricts the map to that
+slice, compiles it to a constant-folded literal-map lookup when it
+fits, and skips per-row work entirely when the slice is empty (the
+no-merge common case). Stage totals: 29.9→2.1 core-sec at local[32]
+on the rewrite, 44.5→23.8 with the write.
+
+**DAG-parallel stage execution** (`BENCH/ab_overlap.json`,
+`tools/ab_overlap.py`): pipeline stages declare their inputs and run
+concurrently once deps are satisfied, each write job submitted from
+its own driver thread — Spark backfills one job's ramp/tail idle
+with the other's tasks. On dense corpora the gate plan makes mention
+detection (documents input) and feature scoring (features input)
+fully independent by moving the gate semi-join onto the NARROW
+linked rows in the triples stage, with the dense/sparse choice made
+at build time from a 4k-doc sample (the CBO ANALYZE role).
+Interleaved same-window A/B at 4M docs: 0.93x at local[8] (no idle
+to fill — mild scheduler/cache contention between the two jobs) vs
+1.27x at local[32] (22.8s vs 29.0s), i.e. the overlap pays exactly
+where task-slot idle exists, which is also the real-cluster case
+(an executor fleet is rarely saturated by one stage's tail). The
+resume/manifest contract is unchanged — stages still commit
+atomically and independently (CELLO_STAGE_OVERLAP=0 forces the
+sequential schedule).
+
 ## Measurement fix: warm the parquet-writer path before timing
 
 The FIRST full-scale parquet write in a fresh JVM at local[32] costs
