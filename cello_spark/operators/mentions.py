@@ -16,7 +16,12 @@ Scale design (100 TB documents, KB-size dictionary):
   functions in the hot path (the HOF form anti-scales; see
   candidate_ngrams docstring).
 - The dictionary join is an explicit `F.broadcast` hash join: zero
-  shuffle on the document side regardless of input size.
+  shuffle on the document side regardless of input size. Probing on
+  xxhash64 over the window columns instead of the concat'd n-gram
+  string (alias side pre-hashed, exact string verify post-join) was
+  measured and REJECTED (tools/diag_match_hash.py, 4M docs: CPU within
+  noise at both local[8] and local[32]) — candidate construction, not
+  the probe key, is where the stage's cycles go.
 - The only shuffle in this stage is the optional per-term aggregate,
   which uses two-level salting because hub terms (the root 'cell'
   alias) receive a large share of all mentions (SURVEY §2.3 skew note).
