@@ -366,6 +366,25 @@ def _write_md(s: dict) -> None:
             f"local[{ds['cores']}] over {sizes_str} docs — {trend} "
             f"(the ontology broadcast is the only global state).\n\n"
         )
+    env_range_para = ""
+    eh_path = os.path.join(REPO, "BENCH", "envelope_history.jsonl")
+    if os.path.exists(eh_path):
+        effs = []
+        with open(eh_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    effs.append(json.loads(line)["alu_eff_8_to_32"])
+        if len(effs) >= 2:
+            env_range_para = (
+                f"\nThe envelope itself swings with host co-tenancy: across "
+                f"{len(effs)} measurement windows "
+                f"(`BENCH/envelope_history.jsonl`) the alu 8→32 ceiling "
+                f"ranged **{min(effs):.2f}-{max(effs):.2f}**. The table "
+                f"above pairs the folded best-of walls with the LATEST "
+                f"window's envelope; the same-window pairing in 'Reading "
+                f"the pairs' is the like-for-like number.\n"
+            )
     indep_eff = "0.86"
     indep_path = os.path.join(REPO, "BENCH", "independent.json")
     if os.path.exists(indep_path):
@@ -458,6 +477,7 @@ The numpy probe — the engine's own compiled Dykstra kernel — sets a
 SECOND, lower ceiling for bandwidth-bound work (independent copies
 share the socket's DRAM channels); the engine's raw efficiency lands
 between the two probes because its stage mix does too.
+{env_range_para}
 
 On a real N→4N executor scale-out, each executor also brings its own
 memory channels, NVMe, and OS page-fault capacity; the single-box
