@@ -93,7 +93,7 @@ try:
     pipe = build_kg_pipeline(spark, workdir, documents, features, onto,
                              make_model_weights(onto), make_thresholds(onto))
     # run stage-by-stage via stop_after to bracket each with cpu samples
-    names = [n for n, _, tiny in pipe.stages]
+    names = [s[0] for s in pipe.stages]
     ctx = {{}}
     prev_done = set()
     for name in names:
