@@ -66,6 +66,21 @@ def run_pinned(code: str, n: int) -> float:
     return n / max(times)
 
 
+def monotone_consistent(agg: dict[int, float], tol: float = 1.10) -> bool:
+    """A valid envelope measurement cannot scale SUPERlinearly: aggregate
+    throughput at P_hi greater than (P_hi/P_lo) x the P_lo aggregate
+    means the low-P leg itself ran contended, so any efficiency derived
+    from it is an artifact, not a ceiling.  Flag such windows so the
+    range report can exclude them (observed once: numpy x8=31.1 but
+    x16=96.4 — the x8 leg hit a co-tenant burst, yielding a bogus 0.99
+    '8→32 ceiling')."""
+    levels = sorted(agg)
+    return all(
+        agg[hi] <= agg[lo] * (hi / lo) * tol
+        for lo, hi in zip(levels, levels[1:])
+    )
+
+
 def main() -> None:
     out: dict[str, dict] = {}
     for name, code in (("alu", ALU), ("numpy_dykstra", NUMPY)):
@@ -79,9 +94,15 @@ def main() -> None:
             "aggregate_per_sec": agg,
             "eff_8_to_32": round(eff, 3),
             "eff_1_to_4": round(eff14, 3),
+            "consistent": monotone_consistent(agg),
         }
         print(f"{name} 8→32 envelope efficiency: {eff:.3f}")
         print(f"{name} 1→4 envelope efficiency: {eff14:.3f}")
+        if not out[name]["consistent"]:
+            print(
+                f"{name}: WARNING superlinear step between process counts "
+                f"— window inconsistent, efficiencies unreliable"
+            )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "cpu_envelope.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -95,6 +116,8 @@ def main() -> None:
         "alu_eff_8_to_32": out["alu"]["eff_8_to_32"],
         "alu_eff_1_to_4": out["alu"]["eff_1_to_4"],
         "numpy_eff_8_to_32": out["numpy_dykstra"]["eff_8_to_32"],
+        "alu_consistent": out["alu"]["consistent"],
+        "numpy_consistent": out["numpy_dykstra"]["consistent"],
     }
     with open(os.path.join(REPO, "BENCH", "envelope_history.jsonl"), "a") as f:
         f.write(json.dumps(hist) + "\n")
