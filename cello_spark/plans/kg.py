@@ -316,7 +316,16 @@ def build_kg_pipeline(
             if features.rdd.getNumPartitions() > target:
                 feats_in = features.coalesce(target)
             return link_documents(feats_in, model, emit_scores=False)
-        mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
+        # distinct BEFORE the semi join: the occurrence table carries
+        # many rows per doc (one per mention), and SHUFFLE_HASH would
+        # otherwise exchange + hash-build every occurrence row. The
+        # partial aggregate collapses them map-side, so only unique
+        # doc_ids cross the wire and the hash relation holds one entry
+        # per doc (measured at 4M docs: gate 42.9→21.9 core-sec @8,
+        # 65.5→29.5 @32 — tools/diag_triples.py)
+        mentioned = (
+            ctx["mentions"].select("doc_id").distinct().hint("SHUFFLE_HASH")
+        )
         gated = features.join(mentioned, "doc_id", "left_semi")
         return link_documents(gated, model, emit_scores=False)
 
@@ -328,7 +337,14 @@ def build_kg_pipeline(
             # the mention gate, applied to the NARROW linked rows (the
             # dense linked stage scored every doc so it could run
             # concurrently with mention detection)
-            mentioned = ctx["mentions"].select("doc_id").hint("SHUFFLE_HASH")
+            # distinct-first for the same reason as the sparse gate in
+            # stage_linked: exchange unique doc_ids, not occurrences
+            mentioned = (
+                ctx["mentions"]
+                .select("doc_id")
+                .distinct()
+                .hint("SHUFFLE_HASH")
+            )
             linked = linked.join(mentioned, "doc_id", "left_semi")
         raw = ctx["onto_triples"].unionByName(typing_triples(linked))
         return canonical_rewrite_triples(raw, ctx["canonical_map"], merged_terms)

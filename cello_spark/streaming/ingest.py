@@ -209,7 +209,9 @@ def run_incremental_kg(
         # neither shuffled nor sorted (the batch pipeline's gate keeps
         # SHUFFLE_HASH because its mentioned set is corpus-sized —
         # see the measured rejection in plans/kg.py stage_linked)
-        mentioned = F.broadcast(mentions.select("doc_id"))
+        # distinct shrinks the broadcast build to one entry per doc
+        # (the occurrence table has one row per mention)
+        mentioned = F.broadcast(mentions.select("doc_id").distinct())
         gated = (
             sess.read.parquet(features_path)
             .join(mentioned, "doc_id", "left_semi")

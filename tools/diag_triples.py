@@ -1,6 +1,9 @@
 """One-off diagnostic: decompose the triples stage at local[N].
 
 Phases (each over the SAME persisted linked parquet):
+  gate_raw     — dense-plan mention gate as shipped: left_semi vs the
+                 RAW occurrence parquet (duplicate doc_ids), count
+  gate_distinct— left_semi vs a partial-agg distinct of doc_id, count
   typing  — typing_triples(linked), count (scan + explode)
   rewrite — + union onto triples + 2 broadcast joins, count
   split   — the real two-branch affected/unaffected plan, count
@@ -58,6 +61,10 @@ gated = features.join(mentioned.hint("SHUFFLE_HASH"), "doc_id", "left_semi")
 link_documents(gated, model, emit_scores=False).write.mode(
     "overwrite").parquet(ldir + "/l")
 linked = spark.read.parquet(ldir + "/l")
+# materialize the mention occurrence table as the pipeline's mentions
+# stage does — the dense-plan triples stage re-reads it for its gate
+mentions.write.mode("overwrite").parquet(ldir + "/m")
+mentions_pq = spark.read.parquet(ldir + "/m")
 
 def proc_cpu():
     jvm = py = 0.0
@@ -83,6 +90,20 @@ def proc_cpu():
 def raw_df():
     return onto_tr.unionByName(typing_triples(linked))
 
+def phase_gate_raw():
+    # as shipped: SHUFFLE_HASH builds its hash relation over EVERY
+    # occurrence row (duplicate doc_ids and all)
+    linked.join(
+        mentions_pq.select("doc_id").hint("SHUFFLE_HASH"),
+        "doc_id", "left_semi").count()
+
+def phase_gate_distinct():
+    # partial-agg distinct first: map-side combine collapses the
+    # occurrence rows to unique doc_ids before the exchange
+    linked.join(
+        mentions_pq.select("doc_id").distinct().hint("SHUFFLE_HASH"),
+        "doc_id", "left_semi").count()
+
 def phase_typing():
     typing_triples(linked).count()
 
@@ -101,7 +122,9 @@ def phase_write():
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
-phases = [("typing", phase_typing), ("rewrite", phase_rewrite),
+phases = [("gate_raw", phase_gate_raw),
+          ("gate_distinct", phase_gate_distinct),
+          ("typing", phase_typing), ("rewrite", phase_rewrite),
           ("split", phase_split), ("write", phase_write)]
 # warmup on a slice
 saved = linked
