@@ -611,6 +611,17 @@ fits, and skips per-row work entirely when the slice is empty (the
 no-merge common case). Stage totals: 29.9→2.1 core-sec at local[32]
 on the rewrite, 44.5→23.8 with the write.
 
+**Distinct-before-semi-join mention gate** (`tools/diag_triples.py`
+gate_raw/gate_distinct phases): the mention stage emits an OCCURRENCE
+table (one row per mention), so every gate that semi-joins on doc_id
+was exchanging and hash-building each occurrence row when only unique
+doc_ids matter. A partial-aggregate distinct collapses them map-side
+before the exchange: the gate's cost halves at both levels (42.9→21.9
+core-sec at local[8], 65.5→29.5 at local[32] on 4M docs) and the
+end-to-end local[1] wall dropped 312→288s. At cluster scale this is
+the difference between shuffling the mention count (~15x the doc
+count on dense corpora) and shuffling the doc count.
+
 **DAG-parallel stage execution** (`BENCH/ab_overlap.json`,
 `tools/ab_overlap.py`): pipeline stages declare their inputs and run
 concurrently once deps are satisfied, each write job submitted from
