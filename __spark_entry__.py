@@ -927,18 +927,31 @@ def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, run with the portable
+    md5-prefix hash (hash_strategy='md5') so the ENTIRE chain —
+    shingle hash, 64 universal-hash permutations, 32-band bucketing,
+    signature-estimate prefilter, exact-Jaccard verify — is replicated
+    bit-for-bit by the DuckDB oracle. Production default stays
+    xxhash64 (faster; structurally identical plan)."""
     from cello_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.2, n=3, num_hashes=64, bands=32)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.2, n=3, num_hashes=64, bands=32, hash_strategy="md5"
+    )
     return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + pigeonhole hamming bands with the portable
+    md5-prefix token hash — vote aggregation, bit assembly, band
+    bucketing, and the hamming filter are all replicated by the
+    DuckDB oracle (see q_minhash_pairs note on hash_strategy)."""
     from cello_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6, n_bands=8)
+    out = simhash_pairs(docs, max_hamming=6, n_bands=8, hash_strategy="md5")
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,6 +1264,142 @@ _SW_SQL = {
     for lang, words in _SW.items()
 }
 _STOP_EN = "['the','of','and','to','in','a','is','that','for','it','with','as','was','on','are']"
+
+# Portable 60-bit hash (DuckDB side): top 15 md5 hex digits as a
+# non-negative BIGINT — the exact value Spark computes with
+# conv(substr(md5(x),1,15),16,10) (cello_spark.operators.dedup.
+# portable_hash64_sql). Verified identical across engines.
+_P31 = 2147483647  # 2^31 - 1, the universal-hash modulus
+
+
+def _duck_h64(col_sql: str) -> str:
+    return f"cast(('0x' || substr(md5({col_sql}), 1, 15)) AS BIGINT)"
+
+
+# Shared shingle CTE prefix (3-gram shingles over the regex-free
+# tokenizer, shingle-DF cap) — mirrors operators/dedup.shingles +
+# _cap_common_shingles; same fragment as the q_ngram_jaccard oracle.
+def _duck_shingles(max_df: int) -> str:
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks, LATERAL (
+                SELECT unnest(range(1, greatest(len(t) - 1, CASE WHEN len(t) > 0 THEN 2 ELSE 1 END))) AS i
+              )
+              WHERE len(t) > 0
+            ), capped AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= {max_df}
+            )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Full DuckDB replica of q_minhash_pairs: portable shingle hash →
+    64 (a*h+b) mod p min-aggregates → 32 two-row bands hashed with the
+    same portable hash → distinct band-bucket pairs → signature-
+    estimate prefilter (same float cutoff literal the engine plans) →
+    exact-Jaccard verify. Coefficients come from the SAME
+    minhash_coeffs(64, 42) the engine uses — no drift possible."""
+    from cello_spark.operators.dedup import minhash_coeffs
+
+    num_hashes, bands, threshold = 64, 32, 0.2
+    coeffs = minhash_coeffs(num_hashes, 42)
+    mins = ",\n                     ".join(
+        f"min((h * {a} + {b}) % {_P31}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_key = lambda b: _duck_h64(  # noqa: E731
+        f"cast(mh_{2 * b} AS VARCHAR) || ',' || cast(mh_{2 * b + 1} AS VARCHAR)"
+    )
+    band_arms = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_key(b)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    # the engine compares est_j to the Python-computed double
+    # (threshold - 3*sqrt(0.25/k)); repr() round-trips the exact value
+    cutoff = repr(threshold - 3.0 * (0.25 / num_hashes) ** 0.5)
+    return f"""{_duck_shingles(5000)}, hashed AS (
+              SELECT doc_id, {_duck_h64('shingle')} % {_P31} AS h FROM capped
+            ), sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM hashed GROUP BY doc_id
+            ), banded AS (
+              {band_arms}
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id
+            ), est AS (
+              SELECT c.a, c.b FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b
+              WHERE ({agree}) / 64.0 >= {cutoff}
+            ), com AS (
+              SELECT e.a, e.b, count(*) AS common
+              FROM est e
+              JOIN capped l ON l.doc_id = e.a
+              JOIN capped r ON r.doc_id = e.b AND r.shingle = l.shingle
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id
+            )
+            SELECT a, b,
+                   round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+                     AS jaccard
+            FROM com
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Full DuckDB replica of q_simhash_pairs (max_hamming=6,
+    n_bands=8). The portable hash is 60-bit, so bits 60-63 of every
+    token hash are 0 → their votes are all -1 → those simhash bits are
+    always 0; the oracle therefore only materializes bits 0-59 (the
+    engine computes all 64 with identical results)."""
+    n_bits, n_bands, max_hamming = 60, 8, 6
+    votes = ",\n                     ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+            ), hashed AS (
+              SELECT doc_id, {_duck_h64('tok')} AS h FROM toks
+            ), votes AS (
+              SELECT doc_id,
+                     {votes}
+              FROM hashed GROUP BY doc_id
+            ), sim AS (
+              SELECT doc_id, {bit_sum} AS simhash FROM votes
+            ), banded AS (
+              SELECT doc_id, simhash, b AS band,
+                     (simhash >> (b * {64 // n_bands})) & {(1 << (64 // n_bands)) - 1} AS chunk
+              FROM sim, LATERAL (SELECT unnest(range(0, {n_bands})) AS b)
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2160,6 +2309,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
         """,
+        "q_minhash_pairs": _minhash_oracle_sql(),
+        "q_simhash_pairs": _simhash_oracle_sql(),
         "q_dedup_fuzzy": f"""
             WITH RECURSIVE toks AS (
               SELECT doc_id, {_TOKENS_SQL} AS t FROM documents

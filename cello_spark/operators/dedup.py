@@ -207,21 +207,52 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
-def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64, seed: int = 42
-) -> DataFrame:
-    """(doc_id, sig: array<long>) — k-permutation MinHash over shingle
-    xxhash64 values using (a*h + b) mod p universal hashing in
-    GF(2^31-1). One groupBy(doc_id): each permutation is a
-    min-aggregate, all JVM-side (map-side partial min → tiny shuffle)."""
+def portable_hash64_sql(col_sql: str) -> str:
+    """Engine-portable 60-bit string hash: the top 15 hex digits of
+    md5 parsed as a non-negative bigint. Spark (conv) and DuckDB
+    (cast '0x…') compute the identical value, so operators built on it
+    can be verified with a DuckDB SQL oracle. ~5x slower than
+    xxhash64 — the default hash_strategy stays 'xxhash64'; pass
+    hash_strategy='md5' where cross-engine verifiability matters."""
+    return f"cast(conv(substr(md5({col_sql}), 1, 15), 16, 10) as bigint)"
+
+
+def _hash64(col_sql: str, hash_strategy: str):
+    if hash_strategy == "xxhash64":
+        return F.expr(f"xxhash64({col_sql})")
+    if hash_strategy == "md5":
+        return F.expr(portable_hash64_sql(col_sql))
+    raise ValueError(f"unknown hash_strategy {hash_strategy!r}")
+
+
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash coefficients for MinHash permutations
+    — exposed so a SQL oracle can embed the exact same literals."""
     import random
 
     rnd = random.Random(seed)
-    coeffs = [
+    return [
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    h = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    num_hashes: int = 64,
+    seed: int = 42,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — k-permutation MinHash over shingle
+    hash values using (a*h + b) mod p universal hashing in
+    GF(2^31-1). One groupBy(doc_id): each permutation is a
+    min-aggregate, all JVM-side (map-side partial min → tiny shuffle).
+    hash_strategy='md5' swaps xxhash64 for the portable md5-prefix
+    hash (DuckDB-replicable, slower)."""
+    coeffs = minhash_coeffs(num_hashes, seed)
+    h = sh.withColumn(
+        "h", F.pmod(_hash64("shingle", hash_strategy), F.lit(_MERSENNE))
+    )
     aggs = [
         F.min(
             (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
@@ -245,6 +276,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     seed: int = 42,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH. Candidate pairs = docs
     sharing any band hash; with verify=True candidates are checked with
@@ -259,14 +291,21 @@ def minhash_lsh_pairs(
     sh = _cap_common_shingles(
         shingles(df, id_col, text_col, n), max_shingle_df, op="minhash_lsh_pairs"
     )
-    sig = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
+    sig = minhash_signatures(
+        sh, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+    )
+    band_fn = (
+        "xxhash64(%s)"
+        if hash_strategy == "xxhash64"
+        else portable_hash64_sql("%s")
+    )
+    band_key = band_fn % (
+        f"array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')"
+    )
     banded = sig.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"xxhash64(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')))"
-            )
+            F.expr(f"transform(sequence(0, {bands - 1}), b -> {band_key})")
         ).alias("band", "band_hash"),
     )
     cands = (
@@ -328,16 +367,23 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over token xxhash64
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over token hash
     values: bit b of the result is 1 iff more tokens have bit b set
     than unset. ONE aggregate with 64 vote columns (map-side
     combinable) — no per-bit row explosion (64x fewer shuffle rows
-    than the naive explode(bit) formulation)."""
+    than the naive explode(bit) formulation). hash_strategy='md5'
+    uses the portable 60-bit hash (bits 60-63 are then always 0 —
+    a 60-effective-bit SimHash, identical across engines)."""
     toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(text_tokens(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash64("tok", hash_strategy))
     votes = [
         F.sum(
             F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
@@ -357,13 +403,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 4,
+    hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming. Pigeonhole banding:
     split 64 bits into n_bands chunks; any pair within distance
     max_hamming < n_bands shares at least one identical chunk → join on
     (band, chunk) then verify exact hamming via bit_count(xor)."""
     assert max_hamming < n_bands, "pigeonhole needs n_bands > max_hamming"
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, hash_strategy=hash_strategy)
     width = 64 // n_bands
     banded = sh.select(
         "doc_id",

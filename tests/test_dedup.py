@@ -129,3 +129,78 @@ def test_dedup_on_testdata_documents(spark):
     removed = docs.count() - kept.count()
     agg = groups.agg(F.sum(F.col("n_dups") - 1).alias("r")).collect()[0].r
     assert (agg or 0) == removed
+
+
+# ---------------------------------------------------------------------------
+# Portable md5-prefix hash strategy (DuckDB-replicable; used by the
+# driver oracle queries) — verified here against an INDEPENDENT pure
+# python hashlib oracle, so Spark / DuckDB / python triangulate.
+# ---------------------------------------------------------------------------
+
+
+def _py_h64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return " ".join(text.lower().split()).split()
+
+
+def test_portable_minhash_signatures_vs_hashlib(spark, docs):
+    """Engine md5-strategy signatures == pure-python hashlib oracle."""
+    p = (1 << 31) - 1
+    coeffs = D.minhash_coeffs(8, 42)
+    sh = D.shingles(docs, n=3)
+    sig = {
+        r.doc_id: list(r.sig)
+        for r in D.minhash_signatures(sh, num_hashes=8, seed=42,
+                                      hash_strategy="md5").collect()
+    }
+    for doc_id, text in CORPUS:
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        if len(toks) >= 3:
+            shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        else:
+            shingles = {" ".join(toks)}
+        hs = [_py_h64(s) % p for s in shingles]
+        want = [min((a * h + b) % p for h in hs) for a, b in coeffs]
+        assert sig[doc_id] == want, doc_id
+
+
+def test_portable_simhash_vs_hashlib(spark, docs):
+    """Engine md5-strategy simhash == pure-python hashlib oracle
+    (bits 60-63 always 0 with the 60-bit portable hash)."""
+    got = {
+        r.doc_id: r.simhash
+        for r in D.simhash(docs, hash_strategy="md5").collect()
+    }
+    for doc_id, text in CORPUS:
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        want = 0
+        for b in range(64):
+            votes = sum(1 if (_py_h64(t) >> b) & 1 else -1 for t in toks)
+            if votes > 0:
+                want |= 1 << b
+        assert got[doc_id] == want, doc_id
+        assert got[doc_id] >> 60 == 0
+
+
+def test_portable_minhash_pairs_subset_of_exact(spark, docs):
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, n=3, num_hashes=64, bands=32,
+            hash_strategy="md5",
+        ).collect()
+    }
+    truth = {k: v for k, v in _jaccard_oracle(3, 0.0).items() if v >= 0.5}
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert abs(v - truth[k]) < 1e-9
+    assert (1, 2) in got and (4, 5) in got
