@@ -176,14 +176,14 @@ def cdc_training_sets(
 
 def study_weights(item_study: DataFrame) -> DataFrame:
     """M9/J4 (ensemble_binary_classifiers.py:238-251): per-item sample
-    weight 1/|study group|. `item_study` = (item, study). Output
-    (item, weight).
+    weight 1/|study group| over the GLOBAL item set. `item_study` =
+    (item, study). Output (item, weight).
 
-    Deviation: group sizes are computed over the GLOBAL item set; the
-    reference recomputes |group| within each label's own pos+neg
-    training set. With ambiguous-item exclusion the two differ —
-    `fit_hierarchical_lr` documents and accepts this approximation
-    (per-label group sizes would need an L×|studies| count pass)."""
+    This is the standalone J4 operator (q_study_weights). Inside
+    `fit_hierarchical_lr` the reference semantics are stricter — group
+    sizes are recomputed within each label's own pos+neg training set
+    — and the fit implements that exactly via a per-(label, study)
+    masked count in its count pass (see `fit_hierarchical_lr`)."""
     sizes = item_study.groupBy("study").agg(F.count(F.lit(1)).alias("n"))
     return item_study.join(F.broadcast(sizes), "study").select(
         "item", (F.lit(1.0) / F.col("n")).alias("weight")
@@ -273,11 +273,12 @@ def _prep_training_frame(
     features: DataFrame,  # (item, features)
     labels_long: DataFrame,  # (item, label)
     ms_labels_long: DataFrame | None,  # (item, ms_label)
-    item_study: DataFrame | None,  # (item, study)
+    item_sidx: DataFrame | None,  # (item, study_idx) dense study index
 ) -> DataFrame:
-    """(item, features, labels, ms_labels, weight) — one row per item.
-    The only shuffles in the whole fit: these groupBy(item) collects
-    (and they are keyed by the same column, so they co-partition)."""
+    """(item, features, labels, ms_labels, study_idx) — one row per
+    item (study_idx = -1 when the item has no study). The only shuffles
+    in the whole fit: these groupBy(item) collects (and they are keyed
+    by the same column, so they co-partition)."""
     labs = labels_long.groupBy("item").agg(
         F.array_sort(F.collect_set("label")).alias("labels")
     )
@@ -289,16 +290,34 @@ def _prep_training_frame(
         out = out.join(ms, "item", "left")
     else:
         out = out.withColumn("ms_labels", F.array().cast("array<string>"))
-    if item_study is not None:
-        out = out.join(study_weights(item_study), "item", "left")
+    if item_sidx is not None:
+        out = out.join(item_sidx, "item", "left")
     else:
-        out = out.withColumn("weight", F.lit(1.0))
+        out = out.withColumn("study_idx", F.lit(-1))
     return out.select(
         "item",
         "features",
         "labels",
         F.coalesce("ms_labels", F.array().cast("array<string>")).alias("ms_labels"),
-        F.coalesce("weight", F.lit(1.0)).alias("weight"),
+        F.coalesce("study_idx", F.lit(-1)).cast("int").alias("study_idx"),
+    )
+
+
+def _study_index(item_study: DataFrame) -> tuple[DataFrame, int]:
+    """(item, study_idx) with a dense deterministic study index +
+    the study count. Studies are a bounded dimension (hundreds in the
+    reference's resource bundle), so the dim collects driver-side and
+    broadcasts back."""
+    spark = item_study.sparkSession
+    studies = sorted(
+        r["study"] for r in item_study.select("study").distinct().collect()
+    )
+    sdim = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(studies)], "study string, study_idx int"
+    )
+    return (
+        item_study.join(F.broadcast(sdim), "study").select("item", "study_idx"),
+        len(studies),
     )
 
 
@@ -326,6 +345,13 @@ def fit_hierarchical_lr(
     `ms_labels_long` are then ignored for set construction and the
     label universe comes from `training_sets`.
 
+    Study weighting (M9) follows the reference exactly: item weight
+    for label l = 1/|items of the same study within l's OWN pos+neg
+    set| (ensemble_binary_classifiers.py:238-251). The count pass
+    accumulates the L×|studies| masked group sizes map-side (a few MB
+    for hundreds of labels × hundreds of studies), and the Newton pass
+    indexes the broadcast inverse-size matrix per (item, label).
+
     Per iteration: one map-side-only pass over the (cached) training
     frame; each partition ships back L packed (d+1)² Hessian partials +
     (d+1) gradient partials. Driver sums partials sorted by partition
@@ -341,6 +367,11 @@ def fit_hierarchical_lr(
     pos_of = {l: i for i, l in enumerate(labels)}
     anc_strict, anc_with_self = _ancestor_masks(labels, label_edges)
 
+    if item_study is not None:
+        item_sidx, S = _study_index(item_study)
+    else:
+        item_sidx, S = None, 0
+
     if explicit:
         # one groupBy(item): pos set in `labels`, neg set in
         # `ms_labels` (collect_set drops the NULLs the CASEs emit)
@@ -353,13 +384,13 @@ def fit_hierarchical_lr(
             ).alias("ms_labels"),
         )
         train = features.join(per_item, "item")
-        if item_study is not None:
-            train = train.join(study_weights(item_study), "item", "left")
+        if item_sidx is not None:
+            train = train.join(item_sidx, "item", "left")
         else:
-            train = train.withColumn("weight", F.lit(1.0))
+            train = train.withColumn("study_idx", F.lit(-1))
         train = train.select(
             "item", "features", "labels", "ms_labels",
-            F.coalesce("weight", F.lit(1.0)).alias("weight"),
+            F.coalesce("study_idx", F.lit(-1)).cast("int").alias("study_idx"),
         ).persist()
     else:
         if ms_labels_long is None:
@@ -370,7 +401,7 @@ def fit_hierarchical_lr(
             ms_labels_long = most_specific_labels(labels_long, label_edges)
 
         train = _prep_training_frame(
-            features, labels_long, ms_labels_long, item_study
+            features, labels_long, ms_labels_long, item_sidx
         ).persist()
     first = train.select("features").first()
     if first is None:
@@ -385,13 +416,16 @@ def fit_hierarchical_lr(
         (pos_of, anc_strict, anc_with_self, explicit)
     )
 
-    # ---- pass 0: per-label positive/negative weighted counts ----------
+    # ---- pass 0: per-label masked counts + per-(label, study) sizes ---
+    Sn = S
+
     def count_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pos_of_, anc_s, anc_ws, expl = bc_masks.value
         Ln = anc_s.shape[0]
-        acc = np.zeros(4 * Ln, dtype=np.float64)
+        acc = np.zeros(2 * Ln + Sn * Ln, dtype=np.float64)
+        grp = acc[2 * Ln :].reshape(Sn, Ln) if Sn else None
         seen = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -400,50 +434,60 @@ def fit_hierarchical_lr(
             y, mask = _batch_y_mask(
                 pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws, expl
             )
-            w = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
-            acc[:Ln] += ((y & mask) * w).sum(axis=0)
-            acc[Ln : 2 * Ln] += ((~y & mask) * w).sum(axis=0)
             # UNWEIGHTED masked counts: sklearn's
             # class_weight='balanced' uses plain bincounts over each
             # label's own pos+neg set, not sample-weighted ones
-            acc[2 * Ln : 3 * Ln] += (y & mask).sum(axis=0)
-            acc[3 * Ln :] += (~y & mask).sum(axis=0)
+            acc[:Ln] += (y & mask).sum(axis=0)
+            acc[Ln : 2 * Ln] += (~y & mask).sum(axis=0)
+            if Sn:
+                # |group ∩ (pos ∪ neg of label)| — the exact group the
+                # reference normalizes by, per label
+                sidx = pdf["study_idx"].to_numpy(dtype=np.int64)
+                valid = sidx >= 0
+                if valid.any():
+                    np.add.at(grp, sidx[valid], mask[valid].astype(np.float64))
         if seen:
             pid = TaskContext.get().partitionId()
             yield pd.DataFrame(
                 {"pid": [pid], "kind": ["counts"], "payload": [acc.tolist()]}
             )
 
-    counts = np.zeros(4 * L)
+    counts = np.zeros(2 * L + S * L)
     for row in sorted(
         train.mapInPandas(count_pass, _PARTIAL_SCHEMA).collect(),
         key=lambda r: r["pid"],
     ):
         counts += np.asarray(row["payload"])
-    n_pos, n_neg = counts[:L], counts[L : 2 * L]
-    c_pos, c_neg = counts[2 * L : 3 * L], counts[3 * L :]
-    trivial = n_neg <= 0.0
+    c_pos, c_neg = counts[:L], counts[L : 2 * L]
+    trivial = c_neg <= 0.0
     if balanced:
         # balanced class weights from UNWEIGHTED per-label masked
         # counts — sklearn semantics (the reference passes
         # class_weight='balanced' to LogisticRegression,
-        # binary_classifier.py:22-29). Study weights stay a separate
-        # multiplicative sample weight; note they are computed over the
-        # GLOBAL study groups, not each label's pos+neg restriction
-        # (ensemble_binary_classifiers.py:238-251) — a documented
-        # approximation that avoids an L×|studies| count pass
+        # binary_classifier.py:22-29)
         tot = c_pos + c_neg
         w_pos = np.where(c_pos > 0, tot / (2.0 * np.maximum(c_pos, 1e-12)), 0.0)
         w_neg = np.where(c_neg > 0, tot / (2.0 * np.maximum(c_neg, 1e-12)), 0.0)
     else:
         w_pos = np.ones(L)
         w_neg = np.ones(L)
+    if S:
+        # inverse per-(label, study) group sizes; an extra all-ones
+        # column serves items with no study (study_idx = -1 → index S)
+        sizes = counts[2 * L :].reshape(S, L).T  # (L, S)
+        inv_aug = np.concatenate(
+            [np.where(sizes > 0, 1.0 / np.maximum(sizes, 1e-12), 0.0),
+             np.ones((L, 1))],
+            axis=1,
+        )
+    else:
+        inv_aug = None
 
     # ---- Newton iterations -------------------------------------------
     W = np.zeros((L, d), dtype=np.float64)
     b = np.zeros(L, dtype=np.float64)
     dd = d + 1  # bias column appended
-    bc_cw = spark.sparkContext.broadcast((w_pos, w_neg))
+    bc_cw = spark.sparkContext.broadcast((w_pos, w_neg, inv_aug, Sn))
 
     for _ in range(n_iter):
         bc_W = spark.sparkContext.broadcast((W.copy(), b.copy()))
@@ -455,7 +499,7 @@ def fit_hierarchical_lr(
 
             pos_of_, anc_s, anc_ws, expl = bc_masks.value
             Wl, bl = bc_W.value
-            wp, wn = bc_cw.value
+            wp, wn, inv_g, Sn_ = bc_cw.value
             Ln = anc_s.shape[0]
             H = np.zeros((Ln, dd, dd), dtype=np.float64)
             g = np.zeros((Ln, dd), dtype=np.float64)
@@ -471,7 +515,13 @@ def fit_hierarchical_lr(
                 y, mask = _batch_y_mask(
                     pdf["labels"], pdf["ms_labels"], pos_of_, anc_s, anc_ws, expl
                 )
-                w_item = pdf["weight"].to_numpy(dtype=np.float64)[:, None]
+                if Sn_:
+                    # per-(item, label) study weight: 1/|group within
+                    # this label's pos+neg set| (index Sn_ = no study)
+                    sidx = pdf["study_idx"].to_numpy(dtype=np.int64)
+                    w_item = inv_g[:, np.where(sidx < 0, Sn_, sidx)].T
+                else:
+                    w_item = 1.0
                 P = sigmoid(X @ Wl.T + bl)
                 cw = np.where(y, wp[None, :], wn[None, :]) * w_item * mask
                 # gradient: X'((p - y) * cw); curvature: X'diag(s)X,

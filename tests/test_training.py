@@ -352,3 +352,101 @@ def test_fit_perfect_separation_finite(spark):
     p_pos = 1.0 / (1.0 + np.exp(-(10.0 * row.coef[0] + row.intercept)))
     p_neg = 1.0 / (1.0 + np.exp(-(-10.0 * row.coef[0] + row.intercept)))
     assert p_pos > 0.9 and p_neg < 0.1
+
+
+def test_per_label_study_weights_vs_numpy_oracle(spark):
+    """M9 exact semantics (ensemble_binary_classifiers.py:238-251):
+    item weight for label l = 1/|same-study items within l's OWN
+    pos+neg set|. Construct a case where an ambiguous item is excluded
+    from one label's set but not another's — so the per-label group
+    sizes genuinely differ from the global ones — and check the fitted
+    coefficients against an independent full-batch numpy Newton fit."""
+    rng = np.random.default_rng(0)
+    edges = [("B", "A"), ("C", "A")]  # A is parent of leaves B, C
+    n, d = 40, 3
+    X = rng.normal(size=(n, d))
+    items = [f"i{k}" for k in range(n)]
+    # half the items are labeled B, half C; every item carries A too
+    true_leaf = ["B" if k % 2 == 0 else "C" for k in range(n)]
+    # items 0-9 are "coarse": labeled ONLY A (ms label = A) — they are
+    # ambiguous negatives for B and C (A is an ancestor) and get
+    # excluded from both leaf sets, but stay in A's own set
+    labels_rows, studies = [], []
+    for k, it in enumerate(items):
+        if k < 10:
+            labels_rows.append((it, "A"))
+        else:
+            labels_rows += [(it, "A"), (it, true_leaf[k])]
+        studies.append((it, f"s{k % 3}"))
+
+    features = spark.createDataFrame(
+        [(it, X[k].tolist()) for k, it in enumerate(items)],
+        "item string, features array<double>",
+    )
+    labels_long = spark.createDataFrame(labels_rows, "item string, label string")
+    item_study = spark.createDataFrame(studies, "item string, study string")
+    got = fit_hierarchical_lr(
+        features, labels_long, edges, item_study=item_study, l2=1.0, n_iter=6
+    )
+
+    # ---- independent numpy oracle (full batch, fresh code) ----------
+    labels = ["A", "B", "C"]
+    anc = {"B": {"A"}, "C": {"A"}, "A": set()}
+    lab_sets = {}
+    ms_sets = {}
+    for it, l in labels_rows:
+        lab_sets.setdefault(it, set()).add(l)
+    for it, ls in lab_sets.items():
+        ms_sets[it] = {l for l in ls if not any(l in anc[o] for o in ls)}
+    study_of = dict(studies)
+    Ln = len(labels)
+    y = np.zeros((n, Ln), bool)
+    mask = np.zeros((n, Ln), bool)
+    for k, it in enumerate(items):
+        for j, l in enumerate(labels):
+            pos = any(l == o or l in anc[o] for o in lab_sets[it])
+            # ambiguous: some most-specific label of the item is a
+            # STRICT ancestor of l (the item might belong to l)
+            ambig = any(m != l and m in anc[l] for m in ms_sets[it])
+            y[k, j] = pos
+            mask[k, j] = pos or not ambig
+    c_pos = (y & mask).sum(0).astype(float)
+    c_neg = (~y & mask).sum(0).astype(float)
+    tot = c_pos + c_neg
+    wp = np.where(c_pos > 0, tot / (2 * np.maximum(c_pos, 1e-12)), 0.0)
+    wn = np.where(c_neg > 0, tot / (2 * np.maximum(c_neg, 1e-12)), 0.0)
+    # per-label group sizes over each label's own masked set
+    g = {}
+    for j in range(Ln):
+        for k, it in enumerate(items):
+            if mask[k, j]:
+                g[(j, study_of[it])] = g.get((j, study_of[it]), 0) + 1
+    w_item = np.array(
+        [[1.0 / g[(j, study_of[it])] if mask[k, j] else 0.0
+          for j in range(Ln)] for k, it in enumerate(items)]
+    )
+    Xb = np.concatenate([X, np.ones((n, 1))], axis=1)
+    W = np.zeros((Ln, d)); b = np.zeros(Ln)
+    trivial = c_neg <= 0
+    for _ in range(6):
+        P = 1 / (1 + np.exp(-(X @ W.T + b)))
+        cw = np.where(y, wp, wn) * w_item * mask
+        R = (P - y.astype(float)) * cw
+        Sm = P * (1 - P) * cw
+        for j in range(Ln):
+            if trivial[j]:
+                continue
+            grad = Xb.T @ R[:, j]
+            grad[:-1] += 1.0 * W[j]
+            H = (Xb * Sm[:, j][:, None]).T @ Xb + np.diag([1.0] * d + [0.0])
+            delta = np.linalg.solve(H, grad)
+            W[j] -= delta[:-1]; b[j] -= delta[-1]
+
+    got = got.sort_values("label").reset_index(drop=True)
+    np.testing.assert_allclose(
+        np.stack(got.coef.map(np.asarray)), W, atol=1e-6
+    )
+    np.testing.assert_allclose(got.intercept.to_numpy(), b, atol=1e-6)
+    # sanity: the scenario actually exercises differing group sizes —
+    # A's masked set (40 items) vs B/C's (30 items)
+    assert g[(0, "s0")] != g[(1, "s0")]
