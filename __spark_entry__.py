@@ -330,6 +330,23 @@ def q_most_specific(spark: SparkSession, sf_dir: str) -> DataFrame:
     return most_specific_per_group(closure, grouped).orderBy("gid", "node")
 
 
+def q_most_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: most-general members of a node set under the division DAG —
+    drop members that are a strict descendant of another member (dual
+    of q_most_specific; reference graph.py:138-168)."""
+    from cello_spark.operators.graph import most_general, transitive_closure
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _part_edges(spark, sf_dir).withColumn("rel", F.lit("is_a"))
+    closure = transitive_closure(edges, rels=("is_a",))
+    nodes = (
+        li.filter(F.col("l_orderkey") <= 2000)
+        .select(F.col("l_partkey").alias("node"))
+        .dropDuplicates()
+    )
+    return most_general(closure, nodes).orderBy("node")
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11: connected components over supplier↔nation co-membership
     (min-id label propagation)."""
@@ -1181,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_hourly": q_event_hourly,
         "q_closure": q_closure,
         "q_most_specific": q_most_specific,
+        "q_most_general": q_most_general,
         "q_connected_components": q_connected_components,
         "q_canonical_map": q_canonical_map,
         "q_transitive_reduction": q_transitive_reduction,
@@ -1595,6 +1613,31 @@ def oracle_sql() -> dict[str, str]:
                 AND c.descendant != c.ancestor
             )
             ORDER BY gid, node
+        """,
+        "q_most_general": """
+            WITH RECURSIVE edges AS (
+              SELECT p.p_partkey AS src, (p.p_partkey // 10) AS dst
+              FROM part p
+              WHERE p.p_partkey >= 10
+                AND EXISTS (SELECT 1 FROM part q
+                            WHERE q.p_partkey = (p.p_partkey // 10))
+            ), closure AS (
+              SELECT src AS descendant, dst AS ancestor FROM edges
+              UNION
+              SELECT c.descendant, e.dst AS ancestor
+              FROM closure c JOIN edges e ON c.ancestor = e.src
+            ), nodes AS (
+              SELECT DISTINCT l_partkey AS node
+              FROM lineitem WHERE l_orderkey <= 2000
+            )
+            SELECT n.node FROM nodes n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM nodes m
+              JOIN closure c ON m.node = c.ancestor
+              WHERE c.descendant = n.node
+                AND c.descendant != c.ancestor
+            )
+            ORDER BY node
         """,
         "q_connected_components": """
             WITH RECURSIVE pairs AS (
