@@ -1174,6 +1174,75 @@ def q_kg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 terms per document by smoothed tf-idf
+    (inverted-index scoring pass; operators/corpus.py). Three
+    map-side-combinable shuffles; the df side of the tf⋈df join is
+    vocab-sized (broadcast under AQE)."""
+    from cello_spark.operators.corpus import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", _r6(F.col("tfidf")).alias("tfidf"), "rank"
+    ).orderBy("doc_id", "rank")
+
+
+def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus packing (LLM-training sharding;
+    operators/corpus.py): deterministic md5 shards, per-shard running
+    token offset, bin = floor(start / capacity). ONE shuffle; the
+    portable hash makes the layout reproducible in ANSI SQL."""
+    from cello_spark.operators.corpus import pack_token_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_bins(docs, capacity=256, n_shards=8).orderBy(
+        "shard", "doc_id"
+    )
+
+
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span caption alignment (operators/multimodal.py
+    caption_pairs): build a deterministic interleaved spans column
+    over the sf documents (md5(doc_id)%3 picks the layout — media
+    before any text / media after text / text only), then pair every
+    media span with the nearest preceding text span. The spans
+    construction is mirrored verbatim in the DuckDB oracle, so the
+    window-over-posexplode operator itself is what's checked."""
+    from cello_spark.operators.multimodal import caption_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 3
+    ).alias("h")
+    txt = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+
+    def med(kind: str, prefix: str, off: int):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit(prefix), F.col("doc_id").cast("string")).alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    interleaved = docs.select(
+        "doc_id",
+        F.when(h == 0, F.array(med("image", "img:", 0), txt, med("audio", "aud:", 2)))
+        .when(h == 1, F.array(txt, med("image", "img:", 2)))
+        .otherwise(F.array(txt))
+        .alias("spans"),
+    )
+    return caption_pairs(interleaved).orderBy("doc_id", "media_idx")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1227,6 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mention_counts_salted": q_mention_counts_salted,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_pack_token_bins": q_pack_token_bins,
+        "q_caption_pairs": q_caption_pairs,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -2443,5 +2515,87 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
             WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) >= 0.5
+        """,
+        # smoothed TF-IDF (sklearn-style): ln((N+1)/(df+1)) + 1; ties
+        # break (score desc, term asc) — mirrors operators/corpus.py
+        "q_tfidf_topk": f"""
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+                    FROM documents)
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
+        # contiguous token packing: md5 shard, per-shard running token
+        # offset in doc_id order, bin = floor(start / 256)
+        "q_pack_token_bins": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_duck_h64("cast(doc_id AS VARCHAR)")} % 8 AS shard,
+                     len({_TOKENS_SQL}) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(floor(start_tok / 256.0) AS BIGINT) AS bin_id,
+                   CAST(start_tok AS BIGINT) AS start_tok, n_tokens
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_tok
+              FROM base
+            )
+        """,
+        # interleaved caption pairing: the SAME deterministic spans
+        # construction as q_caption_pairs (md5(doc_id)%3 layout),
+        # unnested to rows, then nearest-preceding-text via an
+        # IGNORE NULLS last_value window — an independent relational
+        # statement of the operator's semantics
+        "q_caption_pairs": f"""
+            WITH spans AS (
+              SELECT doc_id, 0 AS span_idx, 'image' AS kind,
+                     NULL AS text, 'img:' || doc_id AS media_ref
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 0
+              UNION ALL
+              SELECT doc_id, 1, 'text', text, NULL
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 0
+              UNION ALL
+              SELECT doc_id, 2, 'audio', NULL, 'aud:' || doc_id
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 0
+              UNION ALL
+              SELECT doc_id, 0, 'text', text, NULL
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 1
+              UNION ALL
+              SELECT doc_id, 1, 'image', NULL, 'img:' || doc_id
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 1
+            ), cap AS (
+              SELECT doc_id, span_idx, kind, media_ref,
+                     last_value(CASE WHEN kind = 'text' THEN span_idx END
+                                IGNORE NULLS) OVER w AS cap_idx,
+                     last_value(CASE WHEN kind = 'text' THEN text END
+                                IGNORE NULLS) OVER w AS cap_text
+              FROM spans
+              WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT doc_id, span_idx AS media_idx, media_ref, kind,
+                   coalesce(cap_idx, -1) AS caption_idx,
+                   coalesce(cap_text, '') AS caption_text
+            FROM cap WHERE kind <> 'text'
         """,
     }

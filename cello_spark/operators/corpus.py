@@ -1,0 +1,129 @@
+"""Corpus-level text operators for a training-data pipeline:
+TF-IDF term ranking and token-budget corpus packing.
+
+Neither exists in the reference (CellO ranks genes by classifier
+coefficients, not corpus statistics), but both are table stakes for
+the 100 TB documents use case this engine targets: TF-IDF is the
+classic inverted-index scoring pass (keyword extraction, lexical
+retrieval, quality filtering), and token packing is how a corpus is
+sharded into context-window-budget bins for LLM training.
+
+Scale design:
+- tfidf_top_terms: three shuffles, all map-side combinable — tf on
+  (doc, term), df on term, and the per-doc top-k window on doc. The
+  tf⋈df join is on term; the df side is vocab-sized (sublinear in
+  corpus size), so AQE picks a broadcast when it fits. Hub terms
+  (stopwords) concentrate tf rows but the join is 1:N from the df
+  side — no row explosion, no salt needed.
+- pack_token_bins: exactly ONE shuffle (by deterministic shard);
+  within a shard the running token offset is a sequential window
+  scan, so parallelism = n_shards — size it to the cluster
+  (cores × a small factor). Sharding is a portable md5-prefix hash
+  of doc_id so the layout is reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cello_spark.functions.text import tokens as _tokens
+
+
+def _portable_shard(col, n_shards: int):
+    """Deterministic shard id in [0, n_shards): first 15 hex chars of
+    md5 as a bigint, mod n_shards. Matches the DuckDB-expressible
+    portable hash used by the dedup operators (dedup.portable_hash64_sql)
+    so oracles can reproduce the layout exactly."""
+    h = F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (h % n_shards).alias("shard")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    score(d, t) = tf(d, t) * (ln((N + 1) / (df(t) + 1)) + 1)
+
+    with tf = raw term count in d, df = number of documents containing
+    t, N = total documents (the sklearn-style smooth idf, expressible
+    identically in ANSI SQL). Ties break by term ascending so the
+    top-k set is deterministic. Returns
+    (doc_id, term, tf, df, tfidf, rank), rank in 1..k.
+
+    N is one scalar aggregate over the input (a count job); tf/df are
+    partial-aggregated map-side before their shuffles.
+    """
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(df, "term").withColumn(
+        "tfidf", F.col("tf").cast("double") * idf
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def pack_token_bins(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into token-budget bins for LLM-training sharding.
+
+    Documents are hashed into `n_shards` deterministic shards; within
+    a shard, docs are laid out in doc_id order as one token stream and
+    each doc's bin is the bin containing its START offset:
+
+        start(d) = sum of token counts of preceding docs in the shard
+        bin(d)   = floor(start(d) / capacity)
+
+    (contiguous packing: a doc may straddle a boundary — it belongs to
+    the bin it starts in, the greedy layout used when bins are files /
+    sequence shards rather than hard context windows). Deterministic,
+    one shuffle, and SQL-expressible, unlike first-fit bin packing,
+    whose per-bin state is inherently sequential.
+
+    Returns (doc_id, shard, bin_id, start_tok, n_tokens).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _portable_shard(F.col(id_col), n_shards),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+        "n_tokens",
+    ).select(
+        "doc_id",
+        "shard",
+        F.floor(F.col("start_tok") / capacity).cast("bigint").alias("bin_id"),
+        "start_tok",
+        "n_tokens",
+    )

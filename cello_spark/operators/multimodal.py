@@ -27,7 +27,7 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -205,4 +205,63 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms).cast("long"),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+def caption_pairs(documents: DataFrame) -> DataFrame:
+    """Interleaved-span alignment: pair every media span with the
+    nearest PRECEDING text span of the same document — the caption
+    heuristic a text+media KG pipeline uses to ground media in text
+    (e.g. emitting (media_ref, captioned_by, mention) triples).
+
+    Input is the interleaved documents table
+    (doc_id, spans: array<struct<kind, text, media_ref, offset>>);
+    spans are consumed read-only via posexplode, so the per-row
+    span-sequence invariant (BASELINE.json input_hint) holds by
+    construction. Returns one row per media span:
+    (doc_id, media_idx, media_ref, kind, caption_idx, caption_text)
+    with caption_idx = -1 / caption_text = '' when no text span
+    precedes the media span.
+
+    Plan: posexplode → per-doc running `last(text, ignorenulls)`
+    window ordered by span position → filter to media rows. The only
+    shuffle is the doc_id window partitioning, which the pipeline's
+    bucket-by-doc_id table layout (sources/sinks.py) already provides
+    on a real cluster; per-doc span counts are small and bounded, so
+    the window state never spills.
+    """
+    spans = documents.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_text = F.col("kind") == "text"
+    with_cap = spans.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "media_ref",
+        F.last(F.when(is_text, F.col("span_idx")), ignorenulls=True)
+        .over(w)
+        .alias("cap_idx"),
+        F.last(F.when(is_text, F.col("text")), ignorenulls=True)
+        .over(w)
+        .alias("cap_text"),
+    )
+    return with_cap.filter(F.col("kind") != "text").select(
+        "doc_id",
+        F.col("span_idx").alias("media_idx"),
+        "media_ref",
+        "kind",
+        F.coalesce(F.col("cap_idx"), F.lit(-1)).alias("caption_idx"),
+        F.coalesce(F.col("cap_text"), F.lit("")).alias("caption_text"),
     )

@@ -1,0 +1,184 @@
+"""Corpus operators: TF-IDF top-k, token-bin packing, caption pairing.
+
+Oracles here are fresh, independent Python (collections / math) —
+no shared code with the operators under test.
+"""
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from cello_spark.operators.corpus import pack_token_bins, tfidf_top_terms
+from cello_spark.operators.multimodal import caption_pairs
+
+DOCS = [
+    ("d01", "the cat sat on the mat"),
+    ("d02", "the dog sat on the log"),
+    ("d03", "cat and dog and cat"),
+    ("d04", "quantum flux capacitor"),
+    ("d05", "the the the the"),
+    ("d06", ""),
+    ("d07", "mat log flux"),
+    ("d08", "a b c d e f g h i j k l"),
+]
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.lower().replace("\t", " ").split(" ") if t]
+
+
+def _tfidf_oracle(docs, k):
+    n = len(docs)
+    tf = {d: Counter(_toks(t)) for d, t in docs}
+    df = Counter()
+    for d, c in tf.items():
+        for term in c:
+            df[term] += 1
+    out = {}
+    for d, c in tf.items():
+        scored = [
+            (term, cnt, df[term], cnt * (math.log((n + 1) / (df[term] + 1)) + 1))
+            for term, cnt in c.items()
+        ]
+        scored.sort(key=lambda r: (-r[3], r[0]))
+        out[d] = scored[:k]
+    return out
+
+
+def test_tfidf_matches_fresh_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.tfidf)
+        for r in tfidf_top_terms(df, k=3).collect()
+    }
+    want = _tfidf_oracle(DOCS, 3)
+    expected = {
+        (d, i + 1): row
+        for d, rows in want.items()
+        for i, row in enumerate(rows)
+    }
+    assert set(got) == set(expected)
+    for key, (term, tf, dfc, score) in expected.items():
+        gterm, gtf, gdf, gscore = got[key]
+        assert (gterm, gtf, gdf) == (term, tf, dfc), key
+        assert gscore == pytest.approx(score, rel=1e-12), key
+
+
+def test_tfidf_rare_term_outranks_stopword(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    top1 = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    # d04 = 'quantum flux capacitor': quantum/capacitor are df=1 and
+    # tie on score; the (score desc, term asc) tie-break picks
+    # 'capacitor' over 'quantum', and both outrank df=2 'flux'
+    assert top1["d04"] == "capacitor"
+    # a doc made ONLY of the stopword still ranks it
+    assert top1["d05"] == "the"
+
+
+def _shard_oracle(doc_id: str, n_shards: int) -> int:
+    return int(hashlib.md5(doc_id.encode()).hexdigest()[:15], 16) % n_shards
+
+
+def test_pack_token_bins_layout(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    rows = pack_token_bins(df, capacity=8, n_shards=3).collect()
+    assert len(rows) == len(DOCS)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == _shard_oracle(r.doc_id, 3)
+        assert r.n_tokens == len(_toks(dict(DOCS)[r.doc_id]))
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in shard_rows:
+            assert r.start_tok == offset  # contiguous layout, no gaps
+            assert r.bin_id == offset // 8
+            offset += r.n_tokens
+
+
+def test_pack_token_bins_single_shard_is_global_stream(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    rows = sorted(
+        pack_token_bins(df, capacity=10, n_shards=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+    total = 0
+    for r in rows:
+        assert r.start_tok == total
+        total += r.n_tokens
+    assert total == sum(len(_toks(t)) for _, t in DOCS)
+
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _span(kind, text=None, ref=None, off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_caption_pairs_nearest_preceding_text(spark):
+    docs = spark.createDataFrame(
+        [
+            # media before any text -> no caption
+            (
+                "da",
+                [
+                    _span("image", ref="img0", off=0),
+                    _span("text", text="first caption", off=1),
+                    _span("image", ref="img1", off=2),
+                    _span("text", text="second caption", off=3),
+                    _span("audio", ref="aud0", off=4),
+                    _span("video", ref="vid0", off=5),
+                ],
+            ),
+            # text-only doc -> contributes no rows
+            ("db", [_span("text", text="no media here", off=0)]),
+        ],
+        SPAN_SCHEMA,
+    )
+    got = {
+        (r.doc_id, r.media_ref): (r.media_idx, r.caption_idx, r.caption_text, r.kind)
+        for r in caption_pairs(docs).collect()
+    }
+    assert got == {
+        ("da", "img0"): (0, -1, "", "image"),
+        ("da", "img1"): (2, 1, "first caption", "image"),
+        ("da", "aud0"): (4, 3, "second caption", "audio"),
+        ("da", "vid0"): (5, 3, "second caption", "video"),
+    }
+
+
+def test_caption_pairs_on_fixture_world(spark, small_world):
+    """Every fixture media span gets the last text span before it (the
+    fixture generator interleaves media after text), and the input
+    documents frame is untouched (span-sequence invariant)."""
+    docs = spark.createDataFrame(small_world["documents"])
+    before = docs.select("doc_id", "spans").collect()
+    pairs = caption_pairs(docs).collect()
+    media_total = sum(
+        1 for row in before for s in row.spans if s.kind != "text"
+    )
+    assert len(pairs) == media_total
+    by_doc = {r.doc_id: r.spans for r in before}
+    for p in pairs:
+        spans = by_doc[p.doc_id]
+        assert spans[p.media_idx].kind != "text"
+        want_idx = -1
+        for i in range(p.media_idx - 1, -1, -1):
+            if spans[i].kind == "text":
+                want_idx = i
+                break
+        assert p.caption_idx == want_idx
+        if want_idx >= 0:
+            assert p.caption_text == spans[want_idx].text
+    after = docs.select("doc_id", "spans").collect()
+    assert sorted(map(repr, before)) == sorted(map(repr, after))
