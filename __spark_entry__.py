@@ -971,6 +971,30 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_minhash_pairs on the PRODUCTION hash (xxhash64, the operator
+    default) — the path a cluster deployment runs and the one the
+    bench headline times. Rows-only by design: xxhash64 has no DuckDB
+    twin, so cross-engine verification lives on the md5 variant
+    (q_minhash_pairs), and tests/test_dedup.py pins this variant's
+    output to a subset-of-exact-Jaccard invariant."""
+    from cello_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, n=3, num_hashes=64, bands=32)
+    return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_simhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_simhash_pairs on the production xxhash64 token hash (see
+    q_minhash_pairs_fast note)."""
+    from cello_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, max_hamming=6, n_bands=8)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cello_spark.functions.text import detect_language, quality_score
 
@@ -1302,7 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_minhash_pairs_fast": q_minhash_pairs_fast,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash_pairs_fast": q_simhash_pairs_fast,
         "q_lang_detect": q_lang_detect,
         "q_ivf_topk": q_ivf_topk,
         "q_kmeans_clusters": q_kmeans_clusters,

@@ -38,11 +38,14 @@ HEADLINE = [
     "q_text_stats",
     "q_dedup_keep_min",
     "q_ngram_jaccard",
-    "q_minhash_pairs",
-    "q_simhash_pairs",
+    "q_minhash_pairs_fast",
+    "q_simhash_pairs_fast",
     "q_mention_counts",
     "q_cosine_topk",
     "q_ivf_topk",
+    "q_tfidf_topk",
+    "q_pack_token_bins",
+    "q_caption_pairs",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF
