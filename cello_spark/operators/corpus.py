@@ -56,16 +56,28 @@ def tfidf_top_terms(
     top-k set is deterministic. Returns
     (doc_id, term, tf, df, tfidf, rank), rank in 1..k.
 
-    N is one scalar aggregate over the input (a count job); tf/df are
-    partial-aggregated map-side before their shuffles.
+    N is one scalar aggregate over the input (a count job, column
+    pruned to nothing); tf/df are partial-aggregated map-side before
+    their shuffles.
+
+    tf is consumed twice (the df aggregate and the final scoring
+    join), and Spark plans two full corpus scans for that self-join
+    (no exchange reuse across the re-analyzed subtree — verified on
+    the executed plan). We persist tf — the already-shuffled,
+    combined (doc, term, tf) table, a fraction of the raw text
+    bytes — so the corpus is scanned, exploded, and aggregated ONCE;
+    MEMORY_AND_DISK keeps lineage intact for executor-loss recovery
+    at cluster scale (unlike a localCheckpoint).
     """
+    from pyspark.storagelevel import StorageLevel
+
     n_docs = docs.count()
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks"))
         .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = tf.join(df, "term").withColumn(
