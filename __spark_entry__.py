@@ -1225,17 +1225,12 @@ def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interleaved-span caption alignment (operators/multimodal.py
-    caption_pairs): build a deterministic interleaved spans column
-    over the sf documents (md5(doc_id)%3 picks the layout — media
-    before any text / media after text / text only), then pair every
-    media span with the nearest preceding text span. The spans
-    construction is mirrored verbatim in the DuckDB oracle, so the
-    window-over-posexplode operator itself is what's checked."""
-    from cello_spark.operators.multimodal import caption_pairs
-
-    docs = _t(spark, sf_dir, "documents")
+def _interleaved_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic interleaved spans column over the sf documents
+    (md5(doc_id)%3 picks the layout — media before any text / media
+    after text / text only). Mirrored verbatim in the q_caption_pairs
+    and q_media_triples DuckDB oracles, so the operators themselves
+    are what those queries check."""
     h = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
@@ -1257,14 +1252,41 @@ def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(off).alias("offset"),
         )
 
-    interleaved = docs.select(
+    return docs.select(
         "doc_id",
         F.when(h == 0, F.array(med("image", "img:", 0), txt, med("audio", "aud:", 2)))
         .when(h == 1, F.array(txt, med("image", "img:", 2)))
         .otherwise(F.array(txt))
         .alias("spans"),
     )
-    return caption_pairs(interleaved).orderBy("doc_id", "media_idx")
+
+
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span caption alignment (operators/multimodal.py
+    caption_pairs): pair every media span with the nearest preceding
+    text span over the deterministic interleaved world."""
+    from cello_spark.operators.multimodal import caption_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return caption_pairs(_interleaved_docs(docs)).orderBy("doc_id", "media_idx")
+
+
+def q_media_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-grounding triples (operators/multimodal.py media_triples):
+    (doc, has_media, ref) for every media span and (ref, depicts, term)
+    for every alias-dictionary mention in the span's caption — the
+    interleaved-payload face of the KG triple emission, reusing the
+    q_kg_chain alias dictionary so the caption mention path runs the
+    same detect_mentions gate as the main pipeline."""
+    from cello_spark.operators.multimodal import media_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    alias_df = spark.createDataFrame(
+        KG_CHAIN_ALIASES, "alias_norm string, term_id string"
+    )
+    return media_triples(_interleaved_docs(docs), alias_df).orderBy(
+        "subj", "pred", "obj"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1323,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_pack_token_bins": q_pack_token_bins,
         "q_caption_pairs": q_caption_pairs,
+        "q_media_triples": q_media_triples,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1365,6 +1388,9 @@ _MENTION_TOKENS_SQL = (
 # Spark side uses (KG_CHAIN_ALIASES / KG_CHAIN_XREFS) — no drift
 _KG_CHAIN_DICT_VALUES = ", ".join(
     f"('{a}', {t})" for a, t in KG_CHAIN_ALIASES
+)
+_KG_CHAIN_DICT_STR_VALUES = ", ".join(
+    f"('{a}', '{t}')" for a, t in KG_CHAIN_ALIASES
 )
 _KG_CHAIN_PAIR_VALUES = ", ".join(
     [f"('{a}', '{b}')" for a, b in KG_CHAIN_XREFS]
@@ -2623,5 +2649,45 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cap_idx, -1) AS caption_idx,
                    coalesce(cap_text, '') AS caption_text
             FROM cap WHERE kind <> 'text'
+        """,
+        # media-grounding triples over the same interleaved world:
+        # has_media for every media span; depicts for every 1/2-gram
+        # alias-dict mention in the caption (the nearest preceding
+        # text span — full doc text in this construction, absent for
+        # the layout-0 leading image)
+        "q_media_triples": f"""
+            WITH dict(alias_norm, term_id) AS (
+              VALUES {_KG_CHAIN_DICT_STR_VALUES}
+            ), media AS (
+              SELECT doc_id, 'img:' || doc_id AS media_ref,
+                     FALSE AS has_cap, text
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'aud:' || doc_id, TRUE, text
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 0
+              UNION ALL
+              SELECT doc_id, 'img:' || doc_id, TRUE, text
+              FROM documents WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 3 = 1
+            ), toks AS (
+              SELECT media_ref, {_MENTION_TOKENS_SQL} AS tk
+              FROM media WHERE has_cap
+            ), grams AS (
+              SELECT media_ref, tk[i] AS g FROM (
+                SELECT media_ref, tk,
+                       unnest(generate_series(1, len(tk))) AS i
+                FROM toks)
+              UNION ALL
+              SELECT media_ref, tk[i] || ' ' || tk[i + 1] AS g FROM (
+                SELECT media_ref, tk,
+                       unnest(generate_series(1, len(tk) - 1)) AS i
+                FROM toks)
+            )
+            SELECT DISTINCT 'doc:' || doc_id AS subj,
+                   'has_media' AS pred, media_ref AS obj
+            FROM media
+            UNION
+            SELECT DISTINCT g.media_ref AS subj, 'depicts' AS pred,
+                   d.term_id AS obj
+            FROM grams g JOIN dict d ON g.g = d.alias_norm
         """,
     }

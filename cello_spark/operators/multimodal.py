@@ -265,3 +265,48 @@ def caption_pairs(documents: DataFrame) -> DataFrame:
         F.coalesce(F.col("cap_idx"), F.lit(-1)).alias("caption_idx"),
         F.coalesce(F.col("cap_text"), F.lit("")).alias("caption_text"),
     )
+
+
+def media_triples(documents: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Media-grounding triples for the KG from interleaved documents —
+    the media-side analog of the typing triples the main pipeline
+    emits (plans/kg.py stage_triples):
+
+      (doc:<doc_id>, has_media, <media_ref>)   for every media span
+      (<media_ref>,  depicts,   <term_id>)     for every alias-dict
+          mention in the span's caption (nearest preceding text span,
+          caption_pairs above)
+
+    `alias_dict` is the same (alias_norm, term_id) dictionary the
+    mention stage broadcasts; caption mention detection reuses
+    detect_mentions verbatim by wrapping each caption as a one-span
+    pseudo-document keyed by its media_ref, so gating/tokenization
+    semantics cannot drift from the text path. Costs one extra pass
+    over the (small) caption table on top of caption_pairs' window;
+    the document table itself is read once.
+    """
+    from cello_spark.operators.mentions import detect_mentions
+
+    pairs = caption_pairs(documents)
+    has_media = pairs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("has_media").alias("pred"),
+        F.col("media_ref").alias("obj"),
+    )
+    captions = pairs.filter(F.col("caption_idx") >= 0).select(
+        F.col("media_ref").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("caption_text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    depicts = detect_mentions(captions, alias_dict).select(
+        F.col("doc_id").alias("subj"),
+        F.lit("depicts").alias("pred"),
+        F.col("term_id").cast("string").alias("obj"),
+    )
+    return has_media.unionByName(depicts).dropDuplicates()

@@ -182,3 +182,42 @@ def test_caption_pairs_on_fixture_world(spark, small_world):
             assert p.caption_text == spans[want_idx].text
     after = docs.select("doc_id", "spans").collect()
     assert sorted(map(repr, before)) == sorted(map(repr, after))
+
+
+def test_media_triples_grounding(spark):
+    """has_media for every media span; depicts for every alias mention
+    in the caption; no depicts for an uncaptioned media span."""
+    from cello_spark.operators.multimodal import media_triples
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "da",
+                [
+                    _span("image", ref="img0", off=0),  # no caption
+                    _span("text", text="spark hash join demo", off=1),
+                    _span("image", ref="img1", off=2),
+                    _span("text", text="plain words only", off=3),
+                    _span("audio", ref="aud0", off=4),
+                ],
+            ),
+            ("db", [_span("text", text="no media", off=0)]),
+        ],
+        SPAN_SCHEMA,
+    )
+    alias_df = spark.createDataFrame(
+        [("spark", "T1"), ("hash join", "T2"), ("plain", "T3")],
+        "alias_norm string, term_id string",
+    )
+    got = {(r.subj, r.pred, r.obj) for r in media_triples(docs, alias_df).collect()}
+    assert got == {
+        ("doc:da", "has_media", "img0"),
+        ("doc:da", "has_media", "img1"),
+        ("doc:da", "has_media", "aud0"),
+        # img1's caption 'spark hash join demo' mentions T1 and T2
+        ("img1", "depicts", "T1"),
+        ("img1", "depicts", "T2"),
+        # aud0's caption 'plain words only' mentions T3
+        ("aud0", "depicts", "T3"),
+        # img0 has no preceding text -> no depicts triples
+    }
