@@ -189,7 +189,17 @@ def build_kg_pipeline(
     weights_pdf: pd.DataFrame,
     thresholds_pdf: pd.DataFrame,
     n_buckets: int = 32,
+    include_media_triples: bool = False,
 ) -> Pipeline:
+    """Staged KG-construction pipeline (see module docstring).
+
+    include_media_triples=True adds an independent `media_triples`
+    stage emitting the interleaved-payload grounding triples
+    (doc has_media ref; ref depicts term via caption mentions,
+    operators/multimodal.py media_triples), canonical-rewritten with
+    the same mapping as the main triples output. Off by default so
+    the headline triples artifact (and every bench baseline) is
+    byte-identical with or without the feature."""
     documents = _ensure_parallelism(documents, spark)
     features = _ensure_parallelism(features, spark)
     prep = prepare_ontology(onto)
@@ -352,6 +362,13 @@ def build_kg_pipeline(
     # CELLO_STAGE_OVERLAP=0 forces sequential stage execution (deps =
     # all earlier stages) with identical stage bodies — the A/B lever
     # for the overlap-vs-contention tradeoff on a shared-memory box
+    def stage_media_triples(ctx: dict) -> DataFrame:
+        from cello_spark.operators.multimodal import media_triples as _mt
+
+        alias_df = spark.createDataFrame(prep["alias_dict"])
+        raw = _mt(documents, alias_df)
+        return canonical_rewrite_triples(raw, ctx["canonical_map"], merged_terms)
+
     overlap = _os.environ.get("CELLO_STAGE_OVERLAP", "1") != "0"
     if overlap:
         triples_deps = ["onto_triples", "linked", "canonical_map"] + (
@@ -365,6 +382,7 @@ def build_kg_pipeline(
             "linked": [] if dense else ["mentions"],
             "canonical_map": [],
             "triples": triples_deps,
+            "media_triples": ["canonical_map"],
         }
     else:
         deps = {}
@@ -377,6 +395,10 @@ def build_kg_pipeline(
         .add_stage("canonical_map", stage_canonical_map, tiny=True, deps=deps.get("canonical_map"))
         .add_stage("triples", stage_triples, deps=deps.get("triples"))
     )
+    if include_media_triples:
+        pipe.add_stage(
+            "media_triples", stage_media_triples, deps=deps.get("media_triples")
+        )
     return pipe
 
 

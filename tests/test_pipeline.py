@@ -345,3 +345,62 @@ def test_triples_identical_across_parallelism(spark, tmp_path, onto, small_world
     wide = run_with(17, "29", "par_wide")
     assert narrow == wide
     assert len(narrow) > 0
+
+
+def test_media_triples_stage_opt_in(spark, tmp_path, onto, small_world, pipe):
+    """include_media_triples=True adds an independent canonical-
+    rewritten media-grounding output; the headline triples artifact is
+    byte-identical with the flag on."""
+    from cello_spark.operators.multimodal import media_triples
+    from cello_spark.plans.kg import (
+        canonical_rewrite_triples,
+        merged_term_set,
+        prepare_ontology,
+    )
+
+    docs = spark.createDataFrame(small_world["documents"])
+    feats = spark.createDataFrame(small_world["features"])
+    p = build_kg_pipeline(
+        spark,
+        str(tmp_path / "kg_media"),
+        docs,
+        feats,
+        onto,
+        small_world["weights"],
+        small_world["thresholds"],
+        include_media_triples=True,
+    )
+    results = {r.name: r for r in p.run()}
+    assert "media_triples" in results
+
+    got_media = {
+        (r.subj, r.pred, r.obj)
+        for r in p.output("media_triples").collect()
+    }
+    # parity with the operator composed directly
+    prep = prepare_ontology(onto)
+    raw = media_triples(docs, spark.createDataFrame(prep["alias_dict"]))
+    want_media = {
+        (r.subj, r.pred, r.obj)
+        for r in canonical_rewrite_triples(
+            raw,
+            spark.createDataFrame(prep["canonical_map"]),
+            merged_term_set(prep["canonical_map"]),
+        ).collect()
+    }
+    assert got_media == want_media
+    assert {t[1] for t in got_media} == {"has_media", "depicts"}
+    n_media_spans = sum(
+        1
+        for spans in small_world["documents"].spans
+        for s in spans
+        if s["kind"] != "text"
+    )
+    assert (
+        len([t for t in got_media if t[1] == "has_media"]) == n_media_spans
+    )
+
+    # headline triples unchanged by the flag (vs the module pipe)
+    base = {(r.subj, r.pred, r.obj) for r in pipe.output("triples").collect()}
+    with_flag = {(r.subj, r.pred, r.obj) for r in p.output("triples").collect()}
+    assert base == with_flag
