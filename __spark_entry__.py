@@ -1225,6 +1225,35 @@ def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (operators/corpus.py hash_sample):
+    reproducible ~20% corpus subsample — membership is a pure function
+    of the portable md5 hash of doc_id, so DuckDB reproduces it
+    row-for-row. Zero shuffle (a filter the scan absorbs)."""
+    from cello_spark.operators.corpus import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.2).select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus rebalancing): keep
+    all of one source, 25% of another, drop the rest — broadcast rate
+    map + the same portable membership rule as q_hash_sample."""
+    from cello_spark.operators.corpus import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs,
+        {"src0": 0.25, "src1": 1.0, "src2": 0.5},
+        strata_col="source",
+        default_rate=0.05,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def _interleaved_docs(docs: DataFrame) -> DataFrame:
     """Deterministic interleaved spans column over the sf documents
     (md5(doc_id)%3 picks the layout — media before any text / media
@@ -1346,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_token_bins": q_pack_token_bins,
         "q_caption_pairs": q_caption_pairs,
         "q_media_triples": q_media_triples,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -2689,5 +2720,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT g.media_ref AS subj, 'depicts' AS pred,
                    d.term_id AS obj
             FROM grams g JOIN dict d ON g.g = d.alias_norm
+        """,
+        # deterministic hash sampling: membership = portable md5 hash
+        # of doc_id mod 1e6 under the rate threshold
+        "q_hash_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 1000000 < 200000
+        """,
+        "q_stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 1000000 <
+              CASE source WHEN 'src0' THEN 250000
+                          WHEN 'src1' THEN 1000000
+                          WHEN 'src2' THEN 500000
+                          ELSE 50000 END
         """,
     }

@@ -1,8 +1,9 @@
 """Corpus-level text operators for a training-data pipeline:
-TF-IDF term ranking and token-budget corpus packing.
+TF-IDF term ranking, token-budget corpus packing, and deterministic
+hash sampling (uniform + stratified).
 
-Neither exists in the reference (CellO ranks genes by classifier
-coefficients, not corpus statistics), but both are table stakes for
+None of these exist in the reference (CellO ranks genes by classifier
+coefficients, not corpus statistics), but all are table stakes for
 the 100 TB documents use case this engine targets: TF-IDF is the
 classic inverted-index scoring pass (keyword extraction, lexical
 retrieval, quality filtering), and token packing is how a corpus is
@@ -138,4 +139,73 @@ def pack_token_bins(
         F.floor(F.col("start_tok") / capacity).cast("bigint").alias("bin_id"),
         "start_tok",
         "n_tokens",
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff
+    hash64(salt || id) mod 1e6 < rate * 1e6.
+
+    The reproducible alternative to rng-based sample(): membership is
+    a pure function of the row id (and salt), so re-runs, resumed
+    pipelines, and different engines agree row-for-row — exactly what
+    a training-data pipeline needs for auditable corpus subsampling.
+    Distinct salts give independent samples (e.g. train/holdout
+    splits). Zero shuffle: a filter the scan absorbs."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.filter((h % 1_000_000) < int(rate * 1_000_000))
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each row's keep threshold
+    comes from `rates[strata_col]` (broadcast map join; unmapped
+    strata fall back to default_rate). The corpus-rebalancing
+    primitive (e.g. downsample dominant languages/sources while
+    keeping the tail) — same zero-shuffle membership rule as
+    hash_sample."""
+    spark = docs.sparkSession
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    rate_df = spark.createDataFrame(
+        [(k, int(v * 1_000_000)) for k, v in rates.items()],
+        f"{strata_col} string, __keep_below bigint",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rate_df), strata_col, "left")
+        .withColumn(
+            "__keep_below",
+            F.coalesce(
+                F.col("__keep_below"), F.lit(int(default_rate * 1_000_000))
+            ),
+        )
+        .filter((h % 1_000_000) < F.col("__keep_below"))
+        .drop("__keep_below")
     )

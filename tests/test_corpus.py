@@ -221,3 +221,56 @@ def test_media_triples_grounding(spark):
         ("aud0", "depicts", "T3"),
         # img0 has no preceding text -> no depicts triples
     }
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from cello_spark.operators.corpus import hash_sample
+
+    docs = spark.createDataFrame(
+        [(f"d{i:05d}", "x") for i in range(4000)], "doc_id string, text string"
+    )
+    a = {r.doc_id for r in hash_sample(docs, 0.25).collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.25).collect()}
+    assert a == b  # pure function of the id
+    # matches the fresh-python membership rule exactly
+    want = {
+        f"d{i:05d}"
+        for i in range(4000)
+        if int(hashlib.md5(f"d{i:05d}".encode()).hexdigest()[:15], 16) % 1_000_000
+        < 250_000
+    }
+    assert a == want
+    # calibrated (md5 is uniform): 25% ± a generous band
+    assert 0.2 < len(a) / 4000 < 0.3
+    # nested rates: a lower-rate sample is a subset of a higher-rate one
+    c = {r.doc_id for r in hash_sample(docs, 0.1).collect()}
+    assert c <= a
+    # a different salt draws an (almost surely) different sample
+    d = {r.doc_id for r in hash_sample(docs, 0.25, salt="v2").collect()}
+    assert d != a
+
+
+def test_stratified_hash_sample_rates_and_default(spark):
+    from cello_spark.operators.corpus import stratified_hash_sample
+
+    rows = [
+        (f"d{i:05d}", ["en", "fr", "xx"][i % 3], "t") for i in range(3000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = stratified_hash_sample(
+        docs, {"en": 0.1, "fr": 1.0}, strata_col="lang", default_rate=0.0
+    ).collect()
+    by_lang: dict[str, int] = {}
+    for r in got:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang.get("xx", 0) == 0  # default 0 drops unmapped strata
+    assert by_lang["fr"] == 1000  # rate 1.0 keeps every row
+    assert 50 < by_lang["en"] < 150  # ~10% of 1000
+    # membership agrees with the uniform sampler at the same rate
+    from cello_spark.operators.corpus import hash_sample
+
+    from pyspark.sql import functions as F
+
+    en_docs = docs.filter(F.col("lang") == "en")
+    want = {r.doc_id for r in hash_sample(en_docs, 0.1).collect()}
+    assert {r.doc_id for r in got if r.lang == "en"} == want
