@@ -327,12 +327,25 @@ def _write_md(s: dict) -> None:
         sw = p.get("best_same_window")
         if not sw:
             return ""
-        return (
+        note = (
             f"; best same-window pairing {sw['scaling_efficiency']:.2f} "
             f"({sw['wall_sec_lo']:.1f}s → {sw['wall_sec_hi']:.1f}s measured "
             f"back-to-back — controls for the folded best-of's lo/hi "
             f"bests landing in differently-noisy windows)"
         )
+        if p["scaling_efficiency"] < sw["scaling_efficiency"] - 1e-9:
+            # the fold is asymmetric: a golden window at the LO level
+            # alone lowers the folded ratio without any engine change —
+            # the same-window number is the like-for-like one
+            note += (
+                ". The folded ratio sits BELOW the same-window best "
+                "because the lo-level best landed in a quieter window "
+                "than any hi-level run so far — a measurement artifact "
+                "of folding bests across windows, not an engine change "
+                "(the hi level is the one capped by the box's DRAM "
+                "ceiling; see the envelope section)"
+            )
+        return note
 
     reading_rows = "\n".join(
         f"- local[{p['levels'][0]}] → local[{p['levels'][1]}]: raw {p['scaling_efficiency']:.2f}"
