@@ -411,15 +411,47 @@ def _write_md(s: dict) -> None:
                 if "numpy_eff_8_to_32" in rec:
                     numpy_effs.append(rec["numpy_eff_8_to_32"])
         if len(effs) >= 2:
-            dram_wall_note = (
-                f"Note the engine's best same-window (8,32) efficiency "
-                f"equals the BEST bandwidth ceiling ever observed "
-                f"({max(numpy_effs):.2f}) — at 32 cores the pipeline "
-                f"already runs at the box's DRAM wall, the resource a "
-                f"real 4N-executor scale-out quadruples. "
-                if numpy_effs
-                else ""
+            # pair the best same-window (8,32) rep with ITS OWN window's
+            # bandwidth ceiling: window tags encode the campaign start
+            # epoch (w{ts}:rep) and the campaign recipe runs the
+            # envelope immediately before the reps, so the right
+            # envelope record is the latest one at or before the
+            # window's start (+60s slack for clock ordering).
+            dram_wall_note = ""
+            sw832 = next(
+                (
+                    p.get("best_same_window")
+                    for p in s["pairs"]
+                    if p["levels"] == [8, 32] and p.get("best_same_window")
+                ),
+                None,
             )
+            if sw832 and numpy_effs:
+                try:
+                    wts = int(sw832["window"].split(":")[0][1:])
+                    cands = [
+                        rec
+                        for rec in map(json.loads, open(eh_path))
+                        if rec.get("ts", 0) <= wts + 60
+                        and rec.get("numpy_consistent", True)
+                        and "numpy_eff_8_to_32" in rec
+                    ]
+                    env = cands[-1]["numpy_eff_8_to_32"] if cands else None
+                except (ValueError, KeyError, IndexError):
+                    env = None
+                if env:
+                    share = sw832["scaling_efficiency"] / env
+                    dram_wall_note = (
+                        f"The best same-window (8,32) rep measured raw "
+                        f"efficiency {sw832['scaling_efficiency']:.2f} in a "
+                        f"window whose bandwidth ceiling was {env:.2f} — "
+                        f"the engine captures {share:.0%} of the 8→32 "
+                        f"scaling the box could physically deliver in that "
+                        f"window. At 32 cores the pipeline runs at the "
+                        f"box's DRAM wall, the resource a real 4N-executor "
+                        f"scale-out quadruples (each new executor brings "
+                        f"its own memory controllers). "
+                    )
             numpy_range = (
                 f", and the numpy bandwidth ceiling ranged "
                 f"**{min(numpy_effs):.2f}-{max(numpy_effs):.2f}**"
