@@ -1254,6 +1254,62 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (dup-line fraction,
+    top/dup n-gram fractions for n=2,3) — ONE lambda-free gram
+    explode, two map-side-combinable shuffles."""
+    from cello_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality filter (Gopher-style rules): word
+    count / mean word length / alphabetic floor / stopword floor /
+    repetition caps, emitted with every signal so rejections are
+    auditable. `keep` is cast to int for the cross-engine hash."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.quality import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality_filter(docs, min_words=30)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_char_ratio",
+        "stopword_ratio",
+        "dup_line_frac",
+        "top2gram_frac",
+        "dup3gram_frac",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every corpus doc
+    against a deterministic held-out 'benchmark' slice
+    (doc_id % 50 = 0 — stands in for an eval suite). The benchmark's
+    distinct shingle set is broadcast; the corpus side never shuffles
+    for the membership probe."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.quality import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    out = decontaminate(docs, bench, n=3, threshold=0.3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        "overlap_frac",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
 def _interleaved_docs(docs: DataFrame) -> DataFrame:
     """Deterministic interleaved spans column over the sf documents
     (md5(doc_id)%3 picks the layout — media before any text / media
@@ -1377,6 +1433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_triples": q_media_triples,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
+        "q_repetition_stats": q_repetition_stats,
+        "q_gopher_filter": q_gopher_filter,
+        "q_decontaminate": q_decontaminate,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -2734,5 +2793,118 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 'src1' THEN 1000000
                           WHEN 'src2' THEN 500000
                           ELSE 50000 END
+        """,
+        "q_repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+              WHERE len(t) >= 2
+              UNION ALL
+              SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 3
+            ),
+            cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+            agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN n = 2 THEN c END) AS tot2,
+                     max(CASE WHEN n = 2 THEN c END) AS max2,
+                     sum(CASE WHEN n = 2 AND c > 1 THEN c ELSE 0 END) AS dup2,
+                     sum(CASE WHEN n = 3 THEN c END) AS tot3,
+                     max(CASE WHEN n = 3 THEN c END) AS max3,
+                     sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup3
+              FROM cnt GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   len(string_split(d.text, chr(10))) AS n_lines,
+                   round(1.0 - CAST(len(list_distinct(string_split(d.text, chr(10)))) AS DOUBLE)
+                         / len(string_split(d.text, chr(10))), 6) AS dup_line_frac,
+                   coalesce(round(CAST(max2 AS DOUBLE) / tot2, 6), 0.0) AS top2gram_frac,
+                   coalesce(round(CAST(dup2 AS DOUBLE) / tot2, 6), 0.0) AS dup2gram_frac,
+                   coalesce(round(CAST(max3 AS DOUBLE) / tot3, 6), 0.0) AS top3gram_frac,
+                   coalesce(round(CAST(dup3 AS DOUBLE) / tot3, 6), 0.0) AS dup3gram_frac
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        "q_gopher_filter": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+              WHERE len(t) >= 2
+              UNION ALL
+              SELECT doc_id, 3 AS n, array_to_string(t[i:i+2], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+              WHERE len(t) >= 3
+            ),
+            cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+            rep AS (
+              SELECT doc_id,
+                     coalesce(round(CAST(max(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+                       / sum(CASE WHEN n = 2 THEN c END), 6), 0.0) AS top2gram_frac,
+                     coalesce(round(CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN n = 3 THEN c END), 6), 0.0) AS dup3gram_frac
+              FROM cnt GROUP BY 1
+            ),
+            sig AS (
+              SELECT d.doc_id,
+                     len(t) AS n_words,
+                     length(translate(lower(d.text), ' ' || chr(9) || chr(10) || chr(13), '')) AS nonspace,
+                     length(translate(lower(d.text), ' ' || chr(9) || chr(10) || chr(13), ''))
+                       - length(translate(lower(d.text), 'abcdefghijklmnopqrstuvwxyz ' || chr(9) || chr(10) || chr(13), '')) AS alpha,
+                     round(1.0 - CAST(len(list_distinct(string_split(d.text, chr(10)))) AS DOUBLE)
+                           / len(string_split(d.text, chr(10))), 6) AS dup_line_frac,
+                     CASE WHEN len(t) > 0 THEN
+                       round(CAST(len(list_filter(t, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+                             / len(t), 6) ELSE 0.0 END AS stopword_ratio
+              FROM documents d JOIN toks USING (doc_id)
+            )
+            SELECT s.doc_id, s.n_words,
+                   CASE WHEN s.n_words > 0 THEN
+                     round(CAST(s.nonspace AS DOUBLE) / s.n_words, 6)
+                     ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN s.nonspace > 0 THEN
+                     round(CAST(s.alpha AS DOUBLE) / s.nonspace, 6)
+                     ELSE 0.0 END AS alpha_char_ratio,
+                   s.stopword_ratio, s.dup_line_frac,
+                   coalesce(r.top2gram_frac, 0.0) AS top2gram_frac,
+                   coalesce(r.dup3gram_frac, 0.0) AS dup3gram_frac,
+                   CAST(
+                     s.n_words >= 30 AND s.n_words <= 100000
+                     AND (CASE WHEN s.n_words > 0 THEN round(CAST(s.nonspace AS DOUBLE) / s.n_words, 6) ELSE 0.0 END) >= 3.0
+                     AND (CASE WHEN s.n_words > 0 THEN round(CAST(s.nonspace AS DOUBLE) / s.n_words, 6) ELSE 0.0 END) <= 10.0
+                     AND (CASE WHEN s.nonspace > 0 THEN round(CAST(s.alpha AS DOUBLE) / s.nonspace, 6) ELSE 0.0 END) >= 0.5
+                     AND s.stopword_ratio >= 0.01
+                     AND s.dup_line_frac <= 0.30
+                     AND coalesce(r.top2gram_frac, 0.0) <= 0.20
+                     AND coalesce(r.dup3gram_frac, 0.0) <= 0.60
+                   AS INT) AS keep
+            FROM sig s LEFT JOIN rep r USING (doc_id)
+        """,
+        "q_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks, LATERAL (
+                SELECT unnest(range(1, greatest(len(t) - 1,
+                  CASE WHEN len(t) > 0 THEN 2 ELSE 1 END))) AS i
+              )
+              WHERE len(t) > 0
+            ),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+            matched AS (
+              SELECT s.doc_id, count(*) AS n_matched
+              FROM sh s JOIN bench b USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_shingles, 0) AS n_shingles,
+                   coalesce(n_matched, 0) AS n_matched,
+                   coalesce(round(CAST(n_matched AS DOUBLE) / n_shingles, 6), 0.0) AS overlap_frac,
+                   CAST(coalesce(round(CAST(n_matched AS DOUBLE) / n_shingles, 6), 0.0) >= 0.3 AS INT) AS contaminated
+            FROM documents d
+            LEFT JOIN sizes USING (doc_id) LEFT JOIN matched USING (doc_id)
         """,
     }

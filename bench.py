@@ -46,6 +46,8 @@ HEADLINE = [
     "q_tfidf_topk",
     "q_pack_token_bins",
     "q_caption_pairs",
+    "q_gopher_filter",
+    "q_decontaminate",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF
