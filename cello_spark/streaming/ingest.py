@@ -119,6 +119,48 @@ def mention_rates(
     )
 
 
+def stateful_mention_totals(mentions_stream: DataFrame) -> DataFrame:
+    """Running per-term mention totals as a CUSTOM stateful operator
+    (`applyInPandasWithState`), the escape hatch for stateful logic a
+    built-in streaming aggregation can't express (here the payload is
+    a simple counter so the test can verify it exactly against the
+    batch engine, but the state tuple is the extension point for e.g.
+    per-term top-k docs or decayed rates).
+
+    Semantics: emits (term_id, n_mentions, batch_delta) for every term
+    seen in a micro-batch, where n_mentions is the running total
+    across ALL batches — persisted in the state store, so totals
+    survive query restarts from the same checkpoint. Arrow-batched
+    per group (no per-row Python), state is one bigint per term.
+    Output mode must be "update"; pair with foreachBatch or an
+    update-capable sink."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):  # pragma: no cover - runs on executors
+        import pandas as pd
+
+        delta = 0
+        for pdf in pdf_iter:
+            delta += len(pdf)
+        total = (state.get[0] if state.exists else 0) + delta
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "term_id": [key[0]],
+                "n_mentions": [total],
+                "batch_delta": [delta],
+            }
+        )
+
+    return mentions_stream.groupBy("term_id").applyInPandasWithState(
+        update,
+        outputStructType="term_id string, n_mentions bigint, batch_delta bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_kg(
     spark: SparkSession,
     input_dir: str,
