@@ -17,6 +17,11 @@ Operators:
                                       feature vector (mean/std/moments)
 - sample_frames                     : video-kind rows → one row per
                                       sampled frame index (uniform step)
+- resize_media                      : decoded pixels → fixed target
+                                      (H, W) by nearest-neighbor — pure
+                                      numpy indexing, so unlike the
+                                      decode hook this one is REAL, not
+                                      a stub
 """
 
 from __future__ import annotations
@@ -187,6 +192,88 @@ def extract_features(
         media.repartition("doc_id")
         .select("doc_id", "media_ref", "kind", "content")
         .mapInPandas(run, FEATURES_SCHEMA)
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),  # raw H*W*C uint8
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    decoder: Decoder = real_decoder,
+) -> DataFrame:
+    """Resize every media item's decoded pixels to a fixed (H, W) by
+    nearest-neighbor: output pixel (i, j) samples input pixel
+    (floor((i+0.5)·H/th), floor((j+0.5)·W/tw)) — the standard
+    center-aligned NN grid. Pure numpy fancy-indexing, no codec
+    libraries, so this operator is fully real even in this container
+    (only the byte→pixels decode in front of it is pluggable).
+
+    Emits the resized pixels as a raw uint8 binary column plus the
+    new shape and mean intensity — the uniform-shape contract a
+    downstream vision model batch expects. Arrow-batched, partitioned
+    by doc_id like the other media kernels."""
+    th, tw = target
+    if th <= 0 or tw <= 0:
+        raise ValueError(f"target must be positive, got {target}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decoder(bytes(r.content), r.kind)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w = arr.shape[:2]
+                ri = np.minimum(
+                    ((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1
+                )
+                ci = np.minimum(
+                    ((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1
+                )
+                out = np.ascontiguousarray(arr[ri][:, ci])
+                rows.append(
+                    (
+                        r.doc_id,
+                        r.media_ref,
+                        r.kind,
+                        tw,
+                        th,
+                        int(out.shape[2]),
+                        out.tobytes(),
+                        float(out.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_ref",
+                    "kind",
+                    "width",
+                    "height",
+                    "channels",
+                    "content",
+                    "mean_intensity",
+                ],
+            )
+
+    return (
+        media.repartition("doc_id")
+        .select("doc_id", "media_ref", "kind", "content")
+        .mapInPandas(run, RESIZED_SCHEMA)
     )
 
 

@@ -69,3 +69,61 @@ def test_sample_frames(spark):
     frames = M.sample_frames(media, every_ms=1000)
     got = {(r.doc_id, r.frame_ts_ms) for r in frames.collect()}
     assert got == {("d1", 0), ("d1", 1000), ("d1", 2000), ("d1", 3000), ("d2", 0)}
+
+
+def test_resize_media_nearest_neighbor_oracle(spark, media):
+    """resize_media vs a fresh per-pixel Python oracle (independent
+    loop-based NN lookup, no shared indexing code)."""
+    import numpy as np
+
+    th, tw = 8, 5
+    out = {
+        r["media_ref"]: r.asDict()
+        for r in M.resize_media(
+            media, target=(th, tw), decoder=M.fake_decoder
+        ).collect()
+    }
+    src = media.select("media_ref", "kind", "content").collect()
+    assert len(out) == len({r["media_ref"] for r in src})
+    for r in src:
+        arr = M.fake_decoder(bytes(r["content"]), r["kind"])
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        want = np.zeros((th, tw, c), dtype=np.uint8)
+        for i in range(th):
+            for j in range(tw):
+                want[i, j] = arr[
+                    min(int((i + 0.5) * h / th), h - 1),
+                    min(int((j + 0.5) * w / tw), w - 1),
+                ]
+        got = out[r["media_ref"]]
+        assert (got["height"], got["width"], got["channels"]) == (th, tw, c)
+        got_arr = np.frombuffer(bytes(got["content"]), dtype=np.uint8).reshape(
+            th, tw, c
+        )
+        assert np.array_equal(got_arr, want), r["media_ref"]
+        assert got["mean_intensity"] == pytest.approx(float(want.mean()))
+
+
+def test_resize_media_upsample_and_identity(spark, media):
+    """Upsampling past the source size still produces the exact target
+    shape; resizing to the source's own shape is the identity."""
+    import numpy as np
+
+    big = M.resize_media(media, target=(64, 64), decoder=M.fake_decoder)
+    for r in big.limit(3).collect():
+        assert (r["height"], r["width"]) == (64, 64)
+        assert len(bytes(r["content"])) == 64 * 64 * r["channels"]
+    # identity check on one item
+    one = media.limit(1).collect()[0]
+    arr = M.fake_decoder(bytes(one["content"]), one["kind"])
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    same = M.resize_media(
+        spark.createDataFrame([one], media.schema),
+        target=arr.shape[:2],
+        decoder=M.fake_decoder,
+    ).collect()[0]
+    got = np.frombuffer(bytes(same["content"]), dtype=np.uint8).reshape(arr.shape)
+    assert np.array_equal(got, arr)
