@@ -179,3 +179,41 @@ def test_decontaminate_shuffle_join_parity(spark, docs_df):
         )
     )
     assert a == b
+
+
+def test_repetition_and_decontaminate_random_docs(spark):
+    """Randomized parity sweep: 40 docs drawn from a 12-word vocab
+    (heavy gram collisions) vs the same fresh-Python oracles."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 25)))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        for n in (2, 3):
+            top, dup = _rep_oracle(text, n)
+            assert got[doc_id][f"top{n}gram_frac"] == pytest.approx(top, abs=1e-6)
+            assert got[doc_id][f"dup{n}gram_frac"] == pytest.approx(dup, abs=1e-6)
+
+    bench = spark.createDataFrame(docs[:5], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(df, bench, n=2, threshold=0.4).collect()
+    }
+    bench_sh = set()
+    for _, t in docs[:5]:
+        sh = set(_grams(t, 2))
+        if not sh and _toks(t):
+            sh = {" ".join(_toks(t))}
+        bench_sh |= sh
+    for doc_id, text in docs:
+        sh = set(_grams(text, 2))
+        if not sh and _toks(text):
+            sh = {" ".join(_toks(text))}
+        assert out[doc_id]["n_shingles"] == len(sh), doc_id
+        assert out[doc_id]["n_matched"] == len(sh & bench_sh), doc_id
