@@ -2772,7 +2772,7 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(1, len(tk) - 1)) AS i
                 FROM toks)
             )
-            SELECT DISTINCT 'doc:' || doc_id AS subj,
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,
                    'has_media' AS pred, media_ref AS obj
             FROM media
             UNION

@@ -46,6 +46,7 @@ def tfidf_top_terms(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 
@@ -69,6 +70,11 @@ def tfidf_top_terms(
     bytes — so the corpus is scanned, exploded, and aggregated ONCE;
     MEMORY_AND_DISK keeps lineage intact for executor-loss recovery
     at cluster scale (unlike a localCheckpoint).
+
+    The persisted tf lives until unpersisted: in a long-lived session
+    call `result.tf_handle.unpersist()` once the returned frame is
+    materialized (the handle is stashed on the returned DataFrame), or
+    pass persist_tf=False to trade the cache for a second corpus scan.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -78,7 +84,9 @@ def tfidf_top_terms(
         .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist_tf:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = tf.join(df, "term").withColumn(
@@ -87,11 +95,13 @@ def tfidf_top_terms(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+    out.tf_handle = tf if persist_tf else None
+    return out
 
 
 def pack_token_bins(

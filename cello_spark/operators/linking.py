@@ -276,10 +276,24 @@ def link_documents(
             # fixed-length vectors: one C-level concatenate beats a
             # per-row python stack ~4x (measured 9.3 -> 2.5 ms per
             # 10k batch); float32 inputs upcast here so the numpy
-            # math below is always float64
-            X = np.concatenate(pdf["features"].to_numpy()).reshape(
-                len(pdf), -1
-            ).astype(np.float64, copy=False)
+            # math below is always float64. Unlike np.stack, a bare
+            # reshape(-1) would SILENTLY misalign ragged rows whose
+            # total happens to divide evenly — validate against the
+            # model's feature width before reshaping.
+            vals = pdf["features"].to_numpy()
+            d = m.W.shape[1]
+            lens = np.fromiter(
+                (len(v) for v in vals), dtype=np.int64, count=len(vals)
+            )
+            if (lens != d).any():
+                bad = int(np.argmax(lens != d))
+                raise ValueError(
+                    f"feature vector length {lens[bad]} != model width {d} "
+                    f"(doc_id={pdf['doc_id'].iloc[bad]!r})"
+                )
+            X = np.concatenate(vals).reshape(len(pdf), d).astype(
+                np.float64, copy=False
+            )
             P = m.score(X)
             R = m.reconcile(P)
             B = m.binarize(R)

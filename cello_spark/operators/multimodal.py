@@ -359,7 +359,7 @@ def media_triples(documents: DataFrame, alias_dict: DataFrame) -> DataFrame:
     the media-side analog of the typing triples the main pipeline
     emits (plans/kg.py stage_triples):
 
-      (doc:<doc_id>, has_media, <media_ref>)   for every media span
+      (<doc_id>,     has_media, <media_ref>)   for every media span
       (<media_ref>,  depicts,   <term_id>)     for every alias-dict
           mention in the span's caption (nearest preceding text span,
           caption_pairs above)
@@ -375,8 +375,11 @@ def media_triples(documents: DataFrame, alias_dict: DataFrame) -> DataFrame:
     from cello_spark.operators.mentions import detect_mentions
 
     pairs = caption_pairs(documents)
+    # subj is the BARE doc_id — the same node key the main pipeline's
+    # typing triples use (linking.typing_triples), so a document's
+    # rdf:type and has_media triples join on one node
     has_media = pairs.select(
-        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.col("doc_id").cast("string").alias("subj"),
         F.lit("has_media").alias("pred"),
         F.col("media_ref").alias("obj"),
     )

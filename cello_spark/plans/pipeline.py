@@ -225,6 +225,12 @@ class Pipeline:
                         pending.clear()
                     else:
                         done.add(n)
+        if first_error is not None:
+            # in-flight stages have drained; surface the first failure
+            # (the in-loop raise only covers the no-futures edge, and
+            # once `pending` is cleared the loop exits without entering
+            # another iteration — this is the main failure exit)
+            raise first_error
         return [results[n] for n in names if n in results]
 
     def _write_lineage_from_footers(

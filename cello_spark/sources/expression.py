@@ -508,7 +508,13 @@ def features_vector(
     Plan: broadcast (gene → position) dim join prunes non-model genes,
     then ONE groupBy(sample) builds a position→value map and a codegen
     `transform(sequence(...))` densifies it — no pivot, no UDF, and
-    the wide side never shuffles more than once.
+    the wide side never shuffles more than once. Samples with NO rows
+    in the model gene set (long format omits zeros, so they vanish at
+    the inner dim join) are restored by a left join from the distinct
+    sample universe and score as the all-zero vector the reference's
+    dense AnnData slice produces — the null map densifies to zeros
+    through the same coalesce. The distinct shares the groupBy's
+    sample_id hash partitioning, so the extra pass is map-side cheap.
     Output (doc_id, features array<double>) — ready for
     link_documents / KGModel.predict.
     """
@@ -532,7 +538,8 @@ def features_vector(
             ).alias("__kv")
         )
     )
-    return kv.select(
+    samples = long_df.select("sample_id").distinct()
+    return samples.join(kv, "sample_id", "left").select(
         F.col("sample_id").alias("doc_id"),
         F.expr(
             f"transform(sequence(0, {n - 1}), i -> coalesce(__kv[i], 0.0d))"

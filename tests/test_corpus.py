@@ -211,9 +211,9 @@ def test_media_triples_grounding(spark):
     )
     got = {(r.subj, r.pred, r.obj) for r in media_triples(docs, alias_df).collect()}
     assert got == {
-        ("doc:da", "has_media", "img0"),
-        ("doc:da", "has_media", "img1"),
-        ("doc:da", "has_media", "aud0"),
+        ("da", "has_media", "img0"),
+        ("da", "has_media", "img1"),
+        ("da", "has_media", "aud0"),
         # img1's caption 'spark hash join demo' mentions T1 and T2
         ("img1", "depicts", "T1"),
         ("img1", "depicts", "T2"),

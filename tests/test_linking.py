@@ -226,3 +226,19 @@ def test_link_documents_clustered(spark, onto, small_world, label_edges):
     want_ms = model.labels[ms_idx[0]] if ms_idx[0] >= 0 else ""
     got_ms = got[got.cluster == 0].most_specific.iloc[0]
     assert got_ms == want_ms
+
+
+def test_link_documents_rejects_ragged_features(spark, small_world, model):
+    """Ragged feature rows must raise clearly, not silently misalign —
+    including the compensating case where the batch total still
+    divides evenly by the model width."""
+    d = model.W.shape[1]
+    rows = [
+        ("r1", [0.1] * (d - 2)),
+        ("r2", [0.2] * (d + 2)),  # total = 2*d → reshape would succeed
+    ]
+    feats = spark.createDataFrame(
+        rows, "doc_id string, features array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="feature vector length"):
+        link_documents(feats, model).collect()

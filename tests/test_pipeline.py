@@ -404,3 +404,39 @@ def test_media_triples_stage_opt_in(spark, tmp_path, onto, small_world, pipe):
     base = {(r.subj, r.pred, r.obj) for r in pipe.output("triples").collect()}
     with_flag = {(r.subj, r.pred, r.obj) for r in p.output("triples").collect()}
     assert base == with_flag
+
+
+def test_failed_stage_raises_not_swallowed(spark, tmp_path):
+    """A stage that raises must surface from run() — the DAG scheduler
+    previously cleared `pending` on failure and exited its drain loop
+    without ever reaching the raise."""
+    from cello_spark.plans.pipeline import Pipeline
+
+    pipe = Pipeline(spark, str(tmp_path / "boom"))
+    pipe.add_stage(
+        "ok",
+        lambda ctx: spark.range(3).select(F.col("id").alias("v")),
+        deps=[],
+    )
+
+    def explode(ctx):
+        raise RuntimeError("stage blew up")
+
+    pipe.add_stage("bad", explode, deps=[])
+    pipe.add_stage(
+        "downstream",
+        lambda ctx: ctx["bad"].select("v"),
+        deps=["bad"],
+    )
+    with pytest.raises(RuntimeError, match="stage blew up"):
+        pipe.run()
+    # the independent stage may or may not have completed before the
+    # failure surfaced, but the failed stage must not be in the manifest
+    import json as _json
+
+    mpath = tmp_path / "boom" / "manifest.json"
+    stages = (
+        _json.loads(mpath.read_text())["stages"] if mpath.exists() else {}
+    )
+    assert "bad" not in stages
+    assert "downstream" not in stages

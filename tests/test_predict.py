@@ -89,6 +89,27 @@ def test_features_vector_model_order_missing_and_duplicates(spark):
     assert out["s2"] == [0.0, 9.0, 0.0]
 
 
+def test_features_vector_keeps_all_zero_samples(spark):
+    """A sample whose nonzero genes are ALL outside the model gene set
+    must still appear, scored as the all-zero vector (the reference's
+    dense AnnData slice semantics) — not silently vanish at the dim
+    join."""
+    rows = [
+        ("s1", "gA", 1.0),
+        ("s2", "gX", 7.0),  # no model genes at all
+        ("s2", "gY", 3.0),
+    ]
+    out = {
+        r.doc_id: r.features
+        for r in features_vector(
+            _long_df(spark, rows), ["gA", "gB"]
+        ).collect()
+    }
+    assert set(out) == {"s1", "s2"}
+    assert out["s1"] == [1.0, 0.0]
+    assert out["s2"] == [0.0, 0.0]
+
+
 def test_predict_expression_matches_direct_linking(
     spark, small_world, label_edges
 ):

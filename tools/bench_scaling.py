@@ -64,7 +64,7 @@ features = spark.read.parquet(cache + "/features")
 warm_docs = min(400_000, max(20_000, n_docs // 10))
 warm_dir = tempfile.mkdtemp(prefix=f"kg_warm_{{cores}}_", dir=shm)
 try:
-    build_kg_pipeline(spark, warm_dir, documents.limit(warm_docs), features,
+    build_kg_pipeline(spark, warm_dir, documents.limit(warm_docs), features.limit(warm_docs),
                       onto, make_model_weights(onto), make_thresholds(onto)).run()
 finally:
     shutil.rmtree(warm_dir, ignore_errors=True)
@@ -436,15 +436,15 @@ def _write_md(s: dict) -> None:
                         and rec.get("numpy_consistent", True)
                         and "numpy_eff_8_to_32" in rec
                     ]
-                    env = cands[-1]["numpy_eff_8_to_32"] if cands else None
+                    win_env = cands[-1]["numpy_eff_8_to_32"] if cands else None
                 except (ValueError, KeyError, IndexError):
-                    env = None
-                if env:
-                    share = sw832["scaling_efficiency"] / env
+                    win_env = None
+                if win_env:
+                    share = sw832["scaling_efficiency"] / win_env
                     dram_wall_note = (
                         f"The best same-window (8,32) rep measured raw "
                         f"efficiency {sw832['scaling_efficiency']:.2f} in a "
-                        f"window whose bandwidth ceiling was {env:.2f} — "
+                        f"window whose bandwidth ceiling was {win_env:.2f} — "
                         f"the engine captures {share:.0%} of the 8→32 "
                         f"scaling the box could physically deliver in that "
                         f"window. At 32 cores the pipeline runs at the "

@@ -46,7 +46,7 @@ features = spark.read.parquet(cache + "/features")
 warm_docs = min(400_000, max(20_000, n_docs // 10))
 warm_dir = tempfile.mkdtemp(prefix=f"kg_warm_{{cores}}_", dir=shm)
 try:
-    build_kg_pipeline(spark, warm_dir, documents.limit(warm_docs), features,
+    build_kg_pipeline(spark, warm_dir, documents.limit(warm_docs), features.limit(warm_docs),
                       onto, make_model_weights(onto), make_thresholds(onto)).run()
 finally:
     shutil.rmtree(warm_dir, ignore_errors=True)

@@ -7,7 +7,7 @@ cd "$(dirname "$0")" || exit 1
 LOCK=/tmp/kg_scaling_running.lock
 DEADLINE=$(( $(date +%s) + ${1:-3} * 3600 ))
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  python probe_window.py 0.68
+  python probe_window.py ${PROBE_THRESHOLD:-0.68}
   rc=$?
   if [ $rc -eq 0 ]; then
     touch "$LOCK"
