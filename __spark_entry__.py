@@ -46,7 +46,6 @@ def entry(spark: SparkSession) -> DataFrame:
     pipeline's stage-3 operator) aggregated to per-term doc/mention
     counts, joined against per-language doc totals."""
     sf_dir = "/root/testdata/sf0.001"
-    docs = _t(spark, sf_dir, "documents")
     return q_mention_counts(spark, sf_dir)
 
 

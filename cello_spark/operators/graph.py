@@ -79,6 +79,15 @@ def transitive_closure(
         if frontier.isEmpty():
             break
         closure = _dedup_checkpoint(closure.unionByName(frontier))
+    else:
+        # a silent truncation here would poison every downstream
+        # consumer (binarize, most-specific, anatomical filter) with
+        # missing ancestor pairs — fail loudly instead
+        raise RuntimeError(
+            f"transitive_closure: fixpoint not reached in {max_iter} "
+            f"iterations (a path longer than {max_iter} edges exists); "
+            "raise max_iter"
+        )
     return closure.filter(F.col("descendant") != F.col("ancestor"))
 
 
@@ -336,6 +345,15 @@ def topological_layers(edges: DataFrame, max_iter: int = 256) -> DataFrame:
         )
         if remaining.isEmpty():
             break
+    if not remaining.isEmpty():
+        # ready empty with nodes left = a cycle (or max_iter too small
+        # for the DAG's depth); the oracle raises for the same input —
+        # a silent partial layering would hide a data bug
+        raise ValueError(
+            "topological_layers: cycle detected (or depth exceeds "
+            f"max_iter={max_iter}) — "
+            f"{remaining.count()} nodes cannot be layered"
+        )
     if out is None:
         return spark.createDataFrame([], "node string, layer int")
     return out

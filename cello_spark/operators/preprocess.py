@@ -114,11 +114,16 @@ def back_project(
 
 
 def _moment_partials(
-    features: DataFrame, want_gram: bool
+    features: DataFrame, second: str | None
 ) -> tuple[int, np.ndarray, np.ndarray | None]:
-    """One map-side pass: per-partition (count, Σx[, Σ x xᵀ]) partials,
-    combined on the driver in partition-id order (bit-deterministic for
-    a fixed input layout)."""
+    """One map-side pass: per-partition (count, Σx, second-moment)
+    partials, combined on the driver in partition-id order
+    (bit-deterministic for a fixed input layout).
+
+    second: "gram" ships the full Σ x xᵀ (d², needed by PCA), "diag"
+    ships only Σ x² per column (d doubles — all a scaler needs; the
+    full Gram would be O(rows·d²) matmul CPU and a d²-double payload
+    per partition, 72 MB at d=3000), None ships neither."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -134,9 +139,12 @@ def _moment_partials(
             )
             n += len(X)
             s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
-            if want_gram:
+            if second == "gram":
                 gg = X.T @ X
                 g = gg if g is None else g + gg
+            elif second == "diag":
+                dd = (X * X).sum(axis=0)
+                g = dd if g is None else g + dd
         if n == 0:
             return
         pid = TaskContext.get().partitionId()
@@ -145,7 +153,7 @@ def _moment_partials(
                 "pid": [pid],
                 "n": [n],
                 "s": [s.tolist()],
-                "g": [g.ravel().tolist() if want_gram else []],
+                "g": [g.ravel().tolist() if second else []],
             }
         )
 
@@ -160,12 +168,14 @@ def _moment_partials(
     for r in rows:
         s_total += np.asarray(r["s"], dtype=np.float64)
     g_total = None
-    if want_gram:
+    if second:
         d = len(s_total)
-        g_total = np.zeros(d * d, dtype=np.float64)
+        size = d * d if second == "gram" else d
+        g_total = np.zeros(size, dtype=np.float64)
         for r in rows:
             g_total += np.asarray(r["g"], dtype=np.float64)
-        g_total = g_total.reshape(d, d)
+        if second == "gram":
+            g_total = g_total.reshape(d, d)
     return n_total, s_total, g_total
 
 
@@ -174,9 +184,17 @@ def fit_scale(features: DataFrame, with_std: bool = True) -> ScaleModel:
     variance pass folded into the same Gram partials (variance =
     diagonal of the covariance). `features` = (..., features:
     array<double>)."""
-    n, s, g = _moment_partials(features, want_gram=True)
+    n, s, sq = _moment_partials(features, second="diag")
     mean = s / n
-    var = np.maximum(np.diag(g) / n - mean**2, 0.0)
+    ex2 = sq / n
+    var = np.maximum(ex2 - mean**2, 0.0)
+    # cancellation floor: one-pass E[x²]−mean² leaves fp noise of order
+    # eps·E[x²] for (near-)constant columns of large magnitude, which
+    # would defeat the zero-variance rule below and turn z-scores into
+    # noise/noise. Anything within ~100 ulps of full cancellation IS
+    # zero variance (a real relative std this small is below float64's
+    # resolving power in one pass anyway).
+    var[var <= (ex2 + mean**2) * 1e-13] = 0.0
     if with_std:
         std = np.sqrt(var)
         std[std == 0.0] = 1.0  # sklearn StandardScaler zero-variance rule
@@ -191,7 +209,7 @@ def fit_pca(features: DataFrame, n_components: int) -> PCAModel:
     covariance; top-k eigenvectors with the deterministic sign
     convention. Equivalent to sklearn PCA (centered SVD) up to the
     sign convention for distinct eigenvalues."""
-    n, s, g = _moment_partials(features, want_gram=True)
+    n, s, g = _moment_partials(features, second="gram")
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0  # symmetrize against fp drift

@@ -610,19 +610,22 @@ def most_specific_labels(
     exp_to_ms_labels (load_training_data.py:71-76). Output
     (item, ms_label)."""
     spark = labels_long.sparkSession
-    if label_edges:
-        labels = sorted({x for e in label_edges for x in e})
-        anc_strict, _ = _ancestor_masks(labels, label_edges)
-        idx = {l: i for i, l in enumerate(labels)}
-        pairs = [
-            (labels[i], labels[j])
-            for i in range(len(labels))
-            for j in np.nonzero(anc_strict[i])[0]
-        ]
-    else:
-        pairs = []
+    if not label_edges:
+        # no hierarchy → nothing can be dominated; skip the join
+        # entirely (a sentinel self-pair here would wrongly dominate an
+        # item actually carrying the sentinel as a label)
+        return labels_long.select("item", F.col("label").alias("ms_label"))
+    labels = sorted({x for e in label_edges for x in e})
+    anc_strict, _ = _ancestor_masks(labels, label_edges)
+    pairs = [
+        (labels[i], labels[j])
+        for i in range(len(labels))
+        for j in np.nonzero(anc_strict[i])[0]
+    ]
+    if not pairs:
+        return labels_long.select("item", F.col("label").alias("ms_label"))
     closure = spark.createDataFrame(
-        pairs or [("__none__", "__none__")], "descendant string, ancestor string"
+        pairs, "descendant string, ancestor string"
     )
     dominated = (
         labels_long.alias("d")

@@ -291,8 +291,15 @@ def infer_gene_dialect(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("gene").rlike(r"^ENSG\d+$")).alias("n_ensg"),
         F.count_if(F.col("gene").rlike(r"^ENSG\d+\.\d+$")).alias("n_ver"),
-        F.count_if(
-            F.upper(F.col("gene")).isin(list(probe_symbols))
+        # DISTINCT matched probe symbols, not matched rows — the rule
+        # is the probe SET being a subset of the gene set, and a
+        # non-distinct gene column (e.g. a long expression table) would
+        # otherwise count duplicates of one probe as "all present"
+        F.count_distinct(
+            F.when(
+                F.upper(F.col("gene")).isin(list(probe_symbols)),
+                F.upper(F.col("gene")),
+            )
         ).alias("n_probe"),
     ).first()
     if r["n"] == 0:

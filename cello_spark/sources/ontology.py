@@ -168,12 +168,23 @@ def obo_to_dataframes(
     later files win on duplicate term ids; dangling parent edges are
     dropped."""
     all_terms: dict[str, dict] = {}
-    all_edges: list[dict] = []
-    for text in obo_texts:
+    term_file: dict[str, int] = {}
+    edges_by_file: list[list[dict]] = []
+    for fi, text in enumerate(obo_texts):
         t_rows, e_rows = parse_obo_text(text, include_obsolete=include_obsolete)
         for r in t_rows:
             all_terms[r["term_id"]] = r
-        all_edges.extend(e_rows)
+            term_file[r["term_id"]] = fi
+        edges_by_file.append(e_rows)
+    # "later files win" applies to a term's EDGES too: keep only edges
+    # emitted by the file whose definition of the src term won, so a
+    # superseded definition's relationships don't leak into the union
+    all_edges = [
+        e
+        for fi, rows in enumerate(edges_by_file)
+        for e in rows
+        if term_file.get(e["src"]) == fi
+    ]
     terms = spark.createDataFrame(list(all_terms.values()), TERMS_SCHEMA)
     edges = spark.createDataFrame(all_edges, EDGES_SCHEMA).dropDuplicates()
     # drop dangling: parent must exist as a term
@@ -241,7 +252,18 @@ def enrich_synonyms(terms: DataFrame, extra: DataFrame) -> DataFrame:
             "synonyms",
             F.when(
                 F.col("extra_syns").isNotNull(),
-                F.concat(F.col("synonyms"), F.col("extra_syns")),
+                # coalesce: a NULL synonyms column (legal per
+                # TERMS_SCHEMA for externally-loaded terms) would
+                # otherwise null out concat and silently DROP the patch
+                F.concat(
+                    F.coalesce(
+                        F.col("synonyms"),
+                        F.array().cast(
+                            "array<struct<syn_str:string,syn_type:string>>"
+                        ),
+                    ),
+                    F.col("extra_syns"),
+                ),
             ).otherwise(F.col("synonyms")),
         )
         .drop("extra_syns")

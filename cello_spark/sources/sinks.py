@@ -48,12 +48,22 @@ def write_bucketed(
     tasks that own it (no tiny-file explosion)."""
     spark = df.sparkSession
     if iceberg_available(spark) and not path_or_table.startswith("/"):
-        (
+        writer = (
             df.writeTo(path_or_table)
             .using("iceberg")
             .partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
-            .createOrReplace()
         )
+        # honor `mode` exactly like the parquet fallback does — a
+        # silent createOrReplace on mode="append" would be data loss
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "append":
+            writer.append()
+        else:
+            raise ValueError(
+                f"write_bucketed: unsupported mode {mode!r} for the "
+                "Iceberg path (use 'overwrite' or 'append')"
+            )
         return
     out = df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))

@@ -255,3 +255,19 @@ def test_check_compatibility(spark):
     check_compatibility(avail, ["g1", "g3"])  # no raise
     with pytest.raises(ValueError, match="missing"):
         check_compatibility(avail, ["g1", "g9"])
+
+
+def test_infer_dialect_ignores_duplicate_probe_rows(spark):
+    """A long-format gene column can repeat one probe symbol many
+    times; row counting would misread 'CD14 x4' as all-probes-present.
+    The rule is the probe SET being a subset of the distinct genes."""
+    from cello_spark.sources.expression import (
+        DIALECT_ENSG,
+        infer_gene_dialect,
+    )
+
+    rows = [("ENSG00000001",), ("ENSG00000002,",)][:1] + [("CD14",)] * 6 + [
+        ("ENSG00000003",)
+    ]
+    df = spark.createDataFrame(rows, "gene string")
+    assert infer_gene_dialect(df) == DIALECT_ENSG

@@ -264,3 +264,26 @@ def test_spanning_subgraph_matches_reference_bfs(spark, raw, span_ids):
         for r in G.spanning_subgraph(parent_child, closure, span_df).collect()
     }
     assert got == want
+
+
+def test_closure_raises_on_max_iter_exhaustion(spark):
+    """A chain deeper than max_iter must raise, not silently return a
+    truncated closure."""
+    chain = [(f"n{i}", f"n{i+1}", "is_a") for i in range(12)]
+    edges = spark.createDataFrame(chain, "src string, dst string, rel string")
+    with pytest.raises(RuntimeError, match="fixpoint not reached"):
+        G.transitive_closure(edges, max_iter=2)
+    # and with enough iterations the same chain closes fully
+    full = G.transitive_closure(edges, max_iter=16)
+    assert full.count() == 12 * 13 // 2
+
+
+def test_topo_layers_raises_on_cycle(spark):
+    """Cyclic input raises like the numpy oracle, instead of silently
+    dropping the cycle's nodes from the layering."""
+    edges = spark.createDataFrame(
+        [("a", "b", "is_a"), ("b", "c", "is_a"), ("c", "a", "is_a")],
+        "src string, dst string, rel string",
+    )
+    with pytest.raises(ValueError, match="cycle detected"):
+        G.topological_layers(edges.select("src", "dst"))

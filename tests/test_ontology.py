@@ -171,3 +171,51 @@ def test_rename_to_names(spark, onto):
     first = onto.terms.iloc[0]
     assert f"{first['name']} ({first['term_id']})" in got
     assert "NOPE:123" in got
+
+
+def test_duplicate_term_edges_follow_winning_file(spark):
+    """'later files win' must apply to a term's edges too: the
+    superseded definition's relationships may not leak through."""
+    from cello_spark.sources.ontology import obo_to_dataframes
+
+    f1 = """[Term]
+id: CS:1
+name: one
+is_a: CS:A
+
+[Term]
+id: CS:A
+name: a
+"""
+    f2 = """[Term]
+id: CS:1
+name: one v2
+is_a: CS:B
+
+[Term]
+id: CS:B
+name: b
+"""
+    terms, edges = obo_to_dataframes(spark, [f1, f2])
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert ("CS:1", "CS:B") in got
+    assert ("CS:1", "CS:A") not in got
+    names = {r.term_id: r.name for r in terms.collect()}
+    assert names["CS:1"] == "one v2"
+
+
+def test_enrich_synonyms_null_synonyms_column(spark):
+    """A term with a NULL synonyms column still receives the patch
+    (concat(NULL, x) is NULL in Spark — must coalesce first)."""
+    from cello_spark.sources.ontology import TERMS_SCHEMA, enrich_synonyms
+
+    terms = spark.createDataFrame(
+        [("CS:9", "nine", None, None, None, False)], TERMS_SCHEMA
+    )
+    extra = spark.createDataFrame(
+        [("CS:9", "niner")], "term_id string, syn_str string"
+    )
+    out = enrich_synonyms(terms, extra).collect()[0]
+    assert [(s.syn_str, s.syn_type) for s in out.synonyms] == [
+        ("niner", "ENRICHED")
+    ]

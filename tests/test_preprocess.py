@@ -188,3 +188,20 @@ def test_empty_features_raises(spark):
     df = spark.createDataFrame([], "doc_id string, features array<double>")
     with pytest.raises(ValueError, match="empty"):
         fit_scale(df)
+
+
+def test_fit_scale_constant_large_column_zero_variance(spark):
+    """A constant column of large magnitude must hit the zero-variance
+    rule (scale=1, centered to 0) — the one-pass E[x²]−mean² leaves fp
+    noise that would otherwise produce garbage z-scores."""
+    import numpy as np
+
+    from cello_spark.operators.preprocess import fit_scale
+
+    rows = [(f"d{i}", [1e6, float(i)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, features array<double>")
+    m = fit_scale(df)
+    assert m.scale[0] == 1.0  # zero-variance rule fired despite noise
+    assert m.mean[0] == pytest.approx(1e6)
+    # the genuinely varying column keeps its real std
+    assert m.scale[1] == pytest.approx(np.std(np.arange(50.0)), rel=1e-9)

@@ -450,3 +450,17 @@ def test_per_label_study_weights_vs_numpy_oracle(spark):
     # sanity: the scenario actually exercises differing group sizes —
     # A's masked set (40 items) vs B/C's (30 items)
     assert g[(0, "s0")] != g[(1, "s0")]
+
+
+def test_most_specific_labels_no_edges_is_identity(spark):
+    """With no hierarchy nothing dominates — every label survives,
+    including one that collides with any internal sentinel."""
+    from cello_spark.operators.training import most_specific_labels
+
+    rows = [("i1", "A"), ("i1", "__none__"), ("i2", "B")]
+    labels = spark.createDataFrame(rows, "item string, label string")
+    got = {
+        (r.item, r.ms_label)
+        for r in most_specific_labels(labels, []).collect()
+    }
+    assert got == {("i1", "A"), ("i1", "__none__"), ("i2", "B")}
