@@ -62,41 +62,58 @@ def candidate_ngrams(spans: DataFrame, max_n: int = MAX_ALIAS_TOKENS) -> DataFra
     the mention tokenizer (punctuation folded). Output
     (doc_id, span_idx, offset, ngram).
 
-    Shape note (measured, tools/diag_ngram_variants.py): building the
-    n-grams with nested higher-order functions (transform → sequence →
-    slice/array_join inside a lambda) runs INTERPRETED per element and
-    its per-position collection allocation anti-scales with task
-    parallelism on a shared JVM heap (~2.8x core-second inflation from
-    local[8]→local[32]). Exploding first and applying slice/array_join
-    at the TOP level keeps every expression inside whole-stage codegen:
-    ~3x less CPU at both parallelism levels and near-envelope scaling.
-    The `tokens` array rides through the explodes as a reference
-    inside one codegen stage — it is never re-materialized per row."""
-    toks = spans.withColumn("tokens", _mention_tokens("text"))
-    return (
-        toks.select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            "tokens",
-            F.posexplode("tokens").alias("pos", "tok"),
-        )
-        .select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            "tokens",
-            "pos",
-            F.explode(
-                F.expr(f"sequence(1, least({max_n}, size(tokens) - pos))")
-            ).alias("n"),
-        )
-        .select(
-            "doc_id",
-            "span_idx",
-            "offset",
-            F.expr("array_join(slice(tokens, pos + 1, n), ' ')").alias("ngram"),
-        )
+    Shape note (measured, tools/diag_ngram_variants.py): nested
+    higher-order functions evaluate INTERPRETED per element and
+    anti-scale on a shared heap, and retaining the whole `tokens`
+    array through an explode makes Tungsten Generate copy O(span_len)
+    bytes into EVERY output row — quadratic in span length. This uses
+    the same O(max_n)-carry shape as detect_mentions: posexplode over
+    arrays_zip of shifted slices ships each position's next max_n-1
+    tokens alongside it, and the n-gram is a top-level concat_ws —
+    one WholeStageCodegen span, no lambda, no quadratic copy."""
+    toks = spans.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        _mention_tokens("text").alias("tokens"),
+    )
+    zip_expr = "arrays_zip(tokens" + "".join(
+        f", slice(tokens, {k + 1}, size(tokens))" for k in range(1, max_n)
+    ) + ")"
+    window_cols = [f"t{k}" for k in range(max_n)]
+    tokpos = toks.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.size("tokens").alias("n_toks"),
+        F.posexplode(F.expr(zip_expr)).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "n_toks",
+        "pos",
+        F.col("w")["tokens"].alias("t0"),
+        *[F.col("w")[str(k)].alias(f"t{k}") for k in range(1, max_n)],
+    )
+    ngram_case = "CASE n " + " ".join(
+        f"WHEN {k} THEN "
+        + ("t0" if k == 1 else f"concat_ws(' ', {', '.join(window_cols[:k])})")
+        for k in range(1, max_n + 1)
+    ) + " END"
+    return tokpos.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        *window_cols,
+        F.explode(
+            F.expr(f"sequence(1, least({max_n}, n_toks - pos))")
+        ).alias("n"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.expr(ngram_case).alias("ngram"),
     )
 
 
@@ -135,11 +152,17 @@ def detect_mentions(
     """
     aliases = alias_dict.select("alias_norm", "term_id").collect()
     spark = documents.sparkSession
+    # empty-dictionary returns must carry the SAME schema the populated
+    # path produces (doc_id/term_id types come from the inputs), or a
+    # caller unioning per-batch results hits an AnalysisException the
+    # first time one batch has no aliases
+    empty_schema = (
+        f"doc_id {documents.schema['doc_id'].dataType.simpleString()}, "
+        "span_idx int, offset int, alias_norm string, "
+        f"term_id {alias_dict.schema['term_id'].dataType.simpleString()}"
+    )
     if not aliases:
-        return spark.createDataFrame(
-            [],
-            "doc_id string, span_idx int, offset int, alias_norm string, term_id string",
-        )
+        return spark.createDataFrame([], empty_schema)
     if max_n is None:
         max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
     # per-first-token EXACT alias length set: positions only build
@@ -156,10 +179,7 @@ def detect_mentions(
         if len(parts) <= max_n:
             ft_lengths.setdefault(parts[0], set()).add(len(parts))
     if not ft_lengths:
-        return spark.createDataFrame(
-            [],
-            "doc_id string, span_idx int, offset int, alias_norm string, term_id string",
-        )
+        return spark.createDataFrame([], empty_schema)
     if gate == "auto":
         gate = "case" if len(ft_lengths) <= MAX_CASE_GATE_TOKENS else "join"
 

@@ -18,12 +18,30 @@ TRIPLE_KEYS = ["subj", "pred", "obj"]
 def triple_pr(got: DataFrame, want: DataFrame, keys: list[str] = TRIPLE_KEYS) -> DataFrame:
     """One-row DataFrame (tp, fp, fn, precision, recall, f1) comparing
     two triple tables on `keys` (order-insensitive, distinct)."""
-    g = got.select(*keys).distinct()
-    w = want.select(*keys).distinct()
-    tp = g.join(w, keys, "inner").count()
-    n_g = g.count()
-    n_w = w.count()
-    fp, fn = n_g - tp, n_w - tp
+    # ONE action: full-outer join of the two distinct sets (both
+    # shuffles land on the same keys, so the join adds no exchange)
+    # counting both-present / left-only / right-only in a single
+    # aggregate. The previous three-action form (inner-join count +
+    # two distinct counts) materialized each distinct set twice.
+    g = got.select(*keys).distinct().withColumn("__g", F.lit(1))
+    w = want.select(*keys).distinct().withColumn("__w", F.lit(1))
+    r = (
+        g.join(w, keys, "full_outer")
+        .agg(
+            F.count_if(
+                F.col("__g").isNotNull() & F.col("__w").isNotNull()
+            ).alias("tp"),
+            F.count_if(
+                F.col("__g").isNotNull() & F.col("__w").isNull()
+            ).alias("fp"),
+            F.count_if(
+                F.col("__g").isNull() & F.col("__w").isNotNull()
+            ).alias("fn"),
+        )
+        .first()
+    )
+    tp, fp, fn = r["tp"], r["fp"], r["fn"]
+    n_g, n_w = tp + fp, tp + fn
     precision = tp / n_g if n_g else 0.0
     recall = tp / n_w if n_w else 0.0
     f1 = (

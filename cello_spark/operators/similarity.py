@@ -213,9 +213,20 @@ def ivf_topk(
         sims = centroids @ v
         for c in np.argsort(-sims)[:n_probe]:
             probe_rows.append((r["query_id"], int(c)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, centroid_id int")
+    # probe schema inherits the caller's query_id type (string ids are
+    # as legal here as in cosine_topk_bruteforce, the exact drop-in)
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {qid_type}, centroid_id int"
+    )
     q = queries.select("query_id", F.col("embedding").alias("q_emb"))
-    cand = assigned.join(F.broadcast(probes), "centroid_id")
+    # dropDuplicates: with multi-assignment ivf_build(n_assign>1) a
+    # vector lives in several buckets and can enter a query's candidate
+    # set once per probed bucket — identical cosine twice would then
+    # occupy two of the top-k ranks and displace a real neighbor
+    cand = assigned.join(F.broadcast(probes), "centroid_id").dropDuplicates(
+        ["query_id", "vec_id"]
+    )
     scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
         "vec_id",

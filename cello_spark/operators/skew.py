@@ -30,7 +30,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join fact⋈dim on `key` with k-way salt. `salt_from` is the
     fact column whose hash spreads rows (defaults to the key itself —
-    prefer a high-cardinality column like doc_id)."""
+    prefer a high-cardinality column like doc_id).
+
+    `how` is restricted to joins that preserve at most the fact side:
+    the dim side is exploded k ways before the join, so a right/full
+    outer would emit k copies of every unmatched dim row."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the k-way salt "
+            "explode on the dim side would duplicate unmatched dim "
+            "rows under right/full outer joins"
+        )
     salt_src = salt_from or key
     f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(k)))
     d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).withColumn(

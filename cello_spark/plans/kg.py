@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cello_spark import oracle
+from cello_spark.functions.text import _MENTION_FOLD
 from cello_spark.operators.linking import LinkingModel, link_documents, typing_triples
 from cello_spark.operators.mentions import detect_mentions
 from cello_spark.plans.pipeline import Pipeline
@@ -61,8 +62,16 @@ GATE_SELECTIVITY = float(_os.environ.get("CELLO_GATE_SELECTIVITY", "0.9"))
 # ---------------------------------------------------------------------------
 
 
+_NORM_TABLE = str.maketrans({c: " " for c in "\t\n\r" + _MENTION_FOLD})
+
+
 def _normalize(s: str) -> str:
-    return " ".join(s.lower().split())
+    """Driver-side alias normalization — MUST match the document side's
+    mention_tokens fold (functions/text.py), or punctuated aliases
+    ('t-cell, alpha') can never equal a candidate n-gram whose
+    punctuation was folded to spaces. Shares the literal fold set with
+    the Spark-side normalize_alias so the two cannot drift."""
+    return " ".join(s.lower().translate(_NORM_TABLE).split())
 
 
 def prepare_ontology(onto: Ontology, term_prefix: str = TERM_PREFIX) -> dict[str, pd.DataFrame]:
@@ -200,6 +209,7 @@ def build_kg_pipeline(
     the same mapping as the main triples output. Off by default so
     the headline triples artifact (and every bench baseline) is
     byte-identical with or without the feature."""
+    raw_features = features  # pre-repartition plan: cheap count source
     documents = _ensure_parallelism(documents, spark)
     features = _ensure_parallelism(features, spark)
     prep = prepare_ontology(onto)
@@ -318,7 +328,11 @@ def build_kg_pipeline(
             # each and this is a no-op.)
             from cello_spark.session import ARROW_MAX_RECORDS
 
-            n_docs = features.count()  # parquet metadata count — no scan
+            # count the RAW scan, not the repartition-wrapped plan —
+            # counting `features` would execute the round-robin
+            # exchange _ensure_parallelism added, a full extra shuffle
+            # of every feature row inside the timed stage
+            n_docs = raw_features.count()
             par = spark.sparkContext.defaultParallelism
             max_parts = int(n_docs // (4 * ARROW_MAX_RECORDS)) or 1
             target = max(2 * par, min(3 * par, max_parts))
@@ -469,18 +483,23 @@ def canonical_rewrite_triples(
         & F.col("node").startswith(term_prefix)
     )
     head = nonid.limit(max_literal_map + 1).collect()
-    if len(head) <= max_literal_map:
-        if not head:
-            return raw  # identity map: nothing rewrites, nothing merges
-        lit = F.create_map(
-            *[F.lit(x) for r in head for x in (r.node, r.canonical)]
-        )
-        rewritten = raw.select(
-            F.coalesce(F.try_element_at(lit, F.col("subj")), F.col("subj")).alias("subj"),
-            "pred",
-            F.coalesce(F.try_element_at(lit, F.col("obj")), F.col("obj")).alias("obj"),
-        )
-    else:
+    if not head:
+        return raw  # identity map: nothing rewrites, nothing merges
+
+    def _rewrite(df: DataFrame) -> DataFrame:
+        if len(head) <= max_literal_map:
+            lit = F.create_map(
+                *[F.lit(x) for r in head for x in (r.node, r.canonical)]
+            )
+            return df.select(
+                F.coalesce(
+                    F.try_element_at(lit, F.col("subj")), F.col("subj")
+                ).alias("subj"),
+                "pred",
+                F.coalesce(
+                    F.try_element_at(lit, F.col("obj")), F.col("obj")
+                ).alias("obj"),
+            )
         subj_map = F.broadcast(
             nonid.select(
                 F.col("node").alias("subj"), F.col("canonical").alias("subj_c")
@@ -491,8 +510,8 @@ def canonical_rewrite_triples(
                 F.col("node").alias("obj"), F.col("canonical").alias("obj_c")
             )
         )
-        rewritten = (
-            raw.join(subj_map, "subj", "left")
+        return (
+            df.join(subj_map, "subj", "left")
             .join(obj_map, "obj", "left")
             .select(
                 F.coalesce("subj_c", "subj").alias("subj"),
@@ -500,13 +519,23 @@ def canonical_rewrite_triples(
                 F.coalesce("obj_c", "obj").alias("obj"),
             )
         )
+
     if not merged_terms:
-        return rewritten
+        return _rewrite(raw)
+    # `affected` computed on the RAW columns: merged_terms is closed
+    # under the map (sources ∪ targets), so a row's image contains a
+    # merged term iff the raw row touches one — and the non-identity
+    # map keys (sources) are a subset of merged_terms, so pass-through
+    # rows rewrite as the identity and skip the rewrite entirely.
+    # Both branch filters are plain IN-predicates on scan columns
+    # (parquet row-group pushdown); the rewrite + dedup run only on
+    # the tiny affected slice. One expression, two pushed scans —
+    # previously BOTH branches re-evaluated the full rewrite subtree.
     affected = F.col("subj").isin(merged_terms) | F.col("obj").isin(
         merged_terms
     )
-    return rewritten.filter(~affected).unionByName(
-        rewritten.filter(affected).dropDuplicates()
+    return raw.filter(~affected).unionByName(
+        _rewrite(raw.filter(affected)).dropDuplicates()
     )
 
 

@@ -146,7 +146,7 @@ class Pipeline:
             data_dir = os.path.join(sdir, "data")
             entry = manifest["stages"].get(name)
             if entry and entry.get("status") == "complete" and os.path.exists(data_dir):
-                out = self.spark.read.parquet(data_dir).drop("__pid")
+                out = self.spark.read.parquet(data_dir)
                 with lock:
                     ctx[name] = out
                     results[name] = StageResult(
@@ -175,7 +175,7 @@ class Pipeline:
                 os.replace(tmp_dir, data_dir)
                 rows = self._write_lineage_from_footers(name, sdir, data_dir)
             wall = time.monotonic() - t0
-            out = self.spark.read.parquet(data_dir).drop("__pid")
+            out = self.spark.read.parquet(data_dir)
             with lock:
                 ctx[name] = out
                 manifest["stages"][name] = {
@@ -306,7 +306,7 @@ class Pipeline:
 
     def output(self, name: str) -> DataFrame:
         data_dir = os.path.join(self._stage_dir(name), "data")
-        return self.spark.read.parquet(data_dir).drop("__pid")
+        return self.spark.read.parquet(data_dir)
 
     def lineage(self) -> DataFrame:
         """Union of all stages' per-partition lineage rows."""

@@ -176,3 +176,46 @@ def test_salted_join_equals_plain_join(spark):
     assert {(r.val, r["count"]) for r in plain.collect()} == {
         (r.val, r["count"]) for r in salted.collect()
     }
+
+
+def test_punctuated_alias_matches_via_prepare_ontology(spark, onto):
+    """prepare_ontology's driver-side alias normalization must share
+    the mention_tokens punctuation fold: an alias stored as
+    't-cell, alpha' has to match document text 't-cell alpha.'."""
+    import copy
+
+    from cello_spark.plans.kg import prepare_ontology
+
+    onto2 = copy.deepcopy(onto)
+    tid = onto2.terms.iloc[0]["term_id"]
+    onto2.terms.at[0, "synonyms"] = list(onto2.terms.iloc[0]["synonyms"]) + [
+        {"syn_str": "t-cell, alpha", "syn_type": "EXACT"}
+    ]
+    prep = prepare_ontology(onto2)
+    alias_df = spark.createDataFrame(prep["alias_dict"])
+    # the stored form is the folded one (comma gone, hyphen kept)
+    assert ("t-cell alpha", tid) in {
+        (r.alias_norm, r.term_id) for r in alias_df.collect()
+    }
+    docs = spark.createDataFrame(
+        [
+            (
+                "dx",
+                [
+                    {
+                        "kind": "text",
+                        "text": "We observed t-cell, alpha. clearly",
+                        "media_ref": None,
+                        "offset": 0,
+                    }
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r.doc_id, r.term_id, r.alias_norm)
+        for r in detect_mentions(docs, alias_df).collect()
+    }
+    assert ("dx", tid, "t-cell alpha") in got

@@ -143,3 +143,38 @@ def test_embedding_near_dup_pairs(spark):
     pairs = S.embedding_near_dup_pairs(df, threshold=0.999, n_centroids=2)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_ivf_multi_assign_no_duplicate_vec_ids(spark, corpus, queries):
+    """n_assign>1 replicates vectors across buckets; the top-k must
+    still contain each vec_id at most once per query."""
+    assigned, C = S.ivf_build(corpus, n_centroids=8, seed=42, n_assign=2)
+    rows = S.ivf_topk(assigned, C, queries, k=10, n_probe=8).collect()
+    seen = {}
+    for r in rows:
+        key = (r.query_id, r.vec_id)
+        assert key not in seen, f"duplicate {key} at ranks {seen.get(key)}/{r.rank}"
+        seen[key] = r.rank
+
+
+def test_ivf_topk_string_query_ids(spark, corpus, queries):
+    """ivf_topk must accept the same id types cosine_topk_bruteforce
+    does — the probe table schema follows the caller's query_id."""
+    q = queries.select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
+        "embedding",
+    )
+    assigned, C = S.ivf_build(corpus, n_centroids=8, seed=42)
+    rows = S.ivf_topk(assigned, C, q, k=3, n_probe=2).collect()
+    assert rows and all(r.query_id.startswith("q") for r in rows)
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from cello_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "key int, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "key int, d string")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(fact, dim, "key", k=4, how="right")
+    # inner path still fine
+    assert salted_join(fact, dim, "key", k=4).count() == 1
