@@ -1373,6 +1373,83 @@ def q_media_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redaction over documents with deterministic PII
+    injected (the sf corpus is synthetic lorem text, so the injection
+    — mirrored expression-for-expression in the DuckDB oracle — makes
+    the regexes actually fire). Pure per-row codegen, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.scrub import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" call 555-867-5309")
+        ).otherwise(F.lit("")),
+    )
+    return pii_redact(docs.withColumn("text", aug)).orderBy("doc_id")
+
+
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-corpus Jaccard near-dup join: odd doc_ids are the
+    'new crawl', even doc_ids the 'existing training set'. Shingle df
+    cap computed over the union of both sides (jaccard_pairs_cross).
+    The MinHash-LSH cross variant (minhash_lsh_pairs_cross) is the
+    scale path; its verified output is a recall-bounded subset of this
+    query (pytest-checked)."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.dedup import jaccard_pairs_cross
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.where(F.col("doc_id") % 2 == 1)
+    right = docs.where(F.col("doc_id") % 2 == 0)
+    return (
+        jaccard_pairs_cross(
+            left, right, threshold=0.2, n=3, max_shingle_df=1000
+        )
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("a", "b")
+    )
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length distribution profile (count, mean, exact
+    p25/p50/p75/p95). exact=True here so DuckDB quantile_cont can
+    hash-check the interpolation; the 100 TB path is exact=False
+    (mergeable Greenwald-Khanna sketch), bounded against the exact
+    path in tests/test_corpus.py."""
+    from cello_spark.operators.corpus import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_quantiles(
+        docs,
+        group_col="source",
+        value_col="n_chars",
+        probs=(0.25, 0.5, 0.75, 0.95),
+        exact=True,
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1435,6 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_gopher_filter": q_gopher_filter,
         "q_decontaminate": q_decontaminate,
+        "q_pii_scrub": q_pii_scrub,
+        "q_cross_dedup": q_cross_dedup,
+        "q_length_quantiles": q_length_quantiles,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1630,6 +1710,47 @@ def _simhash_oracle_sql() -> str:
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
             WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of q_pii_scrub built from the engine's own
+    PII_RULES constants (identical pattern strings — the rules are
+    restricted to the Java-regex/RE2 common subset precisely so this
+    oracle checks real behavior), with the deterministic PII injection
+    mirrored expression-for-expression."""
+    from cello_spark.operators.scrub import PII_RULES
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user'"
+        " || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        " || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309'"
+        " ELSE '' END"
+    )
+    counts = ",\n                   ".join(
+        f"length(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    red = "text"
+    for _, pat, token in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_RULES)
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, {aug} AS text FROM documents
+        ), scored AS (
+          SELECT doc_id,
+                   {counts},
+                   {red} AS redacted
+          FROM aug
+        )
+        SELECT doc_id, {', '.join('n_' + n for n, _, _ in PII_RULES)},
+               {total} AS n_pii, redacted
+        FROM scored
     """
 
 
@@ -2905,5 +3026,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(round(CAST(n_matched AS DOUBLE) / n_shingles, 6), 0.0) >= 0.3 AS INT) AS contaminated
             FROM documents d
             LEFT JOIN sizes USING (doc_id) LEFT JOIN matched USING (doc_id)
+        """,
+        "q_pii_scrub": _pii_oracle_sql(),
+        "q_cross_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                          ELSE array_to_string(t, ' ') END AS shingle
+              FROM toks, LATERAL (
+                SELECT unnest(range(1, greatest(len(t) - 1, CASE WHEN len(t) > 0 THEN 2 ELSE 1 END))) AS i
+              )
+              WHERE len(t) > 0
+            ), capped AS (
+              -- cap over the union of both sides = all documents
+              -- (the parity split partitions the corpus)
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+            ), l AS (
+              SELECT * FROM capped WHERE doc_id % 2 = 1
+            ), r AS (
+              SELECT * FROM capped WHERE doc_id % 2 = 0
+            ), sizes_l AS (
+              SELECT doc_id, count(*) AS sz FROM l GROUP BY doc_id
+            ), sizes_r AS (
+              SELECT doc_id, count(*) AS sz FROM r GROUP BY doc_id
+            ), pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+              FROM l JOIN r USING (shingle)
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+                     AS jaccard
+            FROM pairs
+            JOIN sizes_l sa ON sa.doc_id = a
+            JOIN sizes_r sb ON sb.doc_id = b
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+        """,
+        "q_length_quantiles": """
+            SELECT source,
+                   count(*) AS n,
+                   CAST(avg(n_chars) AS DOUBLE) AS mean,
+                   CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_cont(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75,
+                   CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
+            FROM documents
+            GROUP BY source
         """,
     }

@@ -48,6 +48,9 @@ HEADLINE = [
     "q_caption_pairs",
     "q_gopher_filter",
     "q_decontaminate",
+    "q_pii_scrub",
+    "q_cross_dedup",
+    "q_length_quantiles",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

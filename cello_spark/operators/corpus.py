@@ -219,3 +219,41 @@ def stratified_hash_sample(
         .filter((h % 1_000_000) < F.col("__keep_below"))
         .drop("__keep_below")
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group distribution profile of a numeric column — the
+    corpus-health dashboard query (doc-length percentiles per source /
+    language drive truncation budgets and outlier cuts in every
+    published pretraining pipeline).
+
+    exact=False (the default, and the only sane option at 100 TB) uses
+    approx_percentile: a mergeable Greenwald-Khanna sketch, map-side
+    combinable, one tiny shuffle of sketches per group. exact=True
+    computes true linear-interpolation percentiles (Spark collects the
+    group's values into the aggregation buffer — fine at oracle scale,
+    unbounded memory per group at corpus scale); it exists so the
+    DuckDB quantile_cont oracle can hash-check the exact path and the
+    approx path can be bounded against it in tests.
+
+    Output: (group, n, mean, p25, p50, ... one column per prob)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).cast("double").alias("mean"),
+    ]
+    for p in probs:
+        name = "p" + f"{p * 100:g}".replace(".", "_")
+        col = (
+            F.percentile(value_col, F.lit(float(p)))
+            if exact
+            else F.percentile_approx(value_col, F.lit(float(p)), F.lit(accuracy))
+        )
+        aggs.append(col.cast("double").alias(name))
+    return docs.groupBy(group_col).agg(*aggs)

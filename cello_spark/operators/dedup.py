@@ -440,3 +440,178 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
     )
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup (new crawl vs existing training set)
+# ---------------------------------------------------------------------------
+
+
+def _cross_capped_shingles(
+    left: DataFrame,
+    right: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_shingle_df: int | None,
+    op: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shingle both corpora and apply ONE document-frequency cap over
+    their union, so a boilerplate shingle common to both sides is
+    dropped from the index AND the set sizes on both sides
+    consistently. Assumes doc ids are distinct across the two inputs
+    (if an id appears on both sides its union df counts it twice —
+    conservative, never under-caps)."""
+    shl = shingles(left, id_col, text_col, n).withColumn("side", F.lit("l"))
+    shr = shingles(right, id_col, text_col, n).withColumn("side", F.lit("r"))
+    both = _cap_common_shingles(shl.unionByName(shr), max_shingle_df, op=op)
+    return (
+        both.filter(F.col("side") == "l").drop("side"),
+        both.filter(F.col("side") == "r").drop("side"),
+    )
+
+
+def jaccard_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact cross-corpus near-dup pairs: every (a ∈ left, b ∈ right)
+    with shingle-set Jaccard ≥ threshold — the canonical "dedupe the
+    new crawl against the existing training set" shape (GPT-3 §2.2 /
+    MassiveText §A1.2 run exactly this between CommonCrawl snapshots
+    and curated corpora).
+
+    Plan: inverted-index JOIN (not self-join) on shingle; shuffles on
+    shingle and (a, b) only, both map-side combinable. The union-df
+    cap (see _cross_capped_shingles) bounds the worst bucket at
+    O(cap_l x cap_r) pairs. At 100 TB the right ("reference") side's
+    capped shingle index is the thing to persist/bucket once and reuse
+    across crawl increments."""
+    shl, shr = _cross_capped_shingles(
+        left, right, n, id_col, text_col, max_shingle_df, "jaccard_pairs_cross"
+    )
+    sizes_l = shl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
+    sizes_r = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b"))
+    pairs = (
+        ensure_min_partitions(shl).alias("l")
+        .join(shr.alias("r"), "shingle")
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes_l.withColumnRenamed("doc_id", "a"), "a")
+        .join(sizes_r.withColumnRenamed("doc_id", "b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    seed: int = 42,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: banded signatures for both corpora
+    (same coefficients/seed, so signatures are comparable), candidates
+    = (left doc, right doc) sharing any band hash, then the same
+    signature-estimate prefilter and exact-Jaccard verification as
+    minhash_lsh_pairs — with verify=True the output is a recall-bounded
+    subset of jaccard_pairs_cross.
+
+    Scale: the right side's banded signature table is crawl-invariant —
+    persist it bucketed by (band, band_hash) and each new crawl
+    increment joins against it without re-shingling the reference
+    corpus. Band keys are uniform hashes: no content skew."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    shl, shr = _cross_capped_shingles(
+        left, right, n, id_col, text_col, max_shingle_df,
+        "minhash_lsh_pairs_cross",
+    )
+    sig_l = minhash_signatures(
+        shl, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+    )
+    sig_r = minhash_signatures(
+        shr, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+    )
+    band_fn = (
+        "xxhash64(%s)"
+        if hash_strategy == "xxhash64"
+        else portable_hash64_sql("%s")
+    )
+    band_key = band_fn % (
+        f"array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')"
+    )
+
+    def _banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {bands - 1}), b -> {band_key})")
+            ).alias("band", "band_hash"),
+        )
+
+    cands = (
+        ensure_min_partitions(_banded(sig_l)).alias("l")
+        .join(_banded(sig_r).alias("r"), ["band", "band_hash"])
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates()
+    )
+    if not verify:
+        return cands
+    margin = 3.0 * (0.25 / num_hashes) ** 0.5
+    est = (
+        cands.join(
+            sig_l.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a"
+        )
+        .join(
+            sig_r.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b"
+        )
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_j") >= threshold - margin)
+        .select("a", "b")
+    )
+    sizes_l = shl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
+    sizes_r = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b"))
+    common = (
+        est.join(shl.withColumnRenamed("doc_id", "a"), "a")
+        .join(shr.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes_l.withColumnRenamed("doc_id", "a"), "a")
+        .join(sizes_r.withColumnRenamed("doc_id", "b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,94 @@
+"""PII detection and redaction for training-data pipelines.
+
+No analog exists in the reference (CellO processes expression
+matrices, not free text), but web-scale corpus preparation scrubs
+personally identifying strings before training (see e.g. the C4
+pipeline's blocklist pass, Raffel et al. 2020 §2.2, and BigScience
+ROTS PII filtering) — this is the same table-stakes class as the
+quality/dedup operators.
+
+Scale design: everything here is a per-row column expression —
+`regexp_count` / chained `regexp_replace` inside WholeStageCodegen,
+ZERO shuffles, trivially partition-parallel at 100 TB. Patterns are
+deliberately restricted to the common subset of Java regex (Spark)
+and RE2 (DuckDB): no lookaround, no backreferences, no possessive
+quantifiers — so the DuckDB oracle can run the *identical* pattern
+strings and the cross-engine hash check verifies real behavior, not
+a lookalike.
+
+Rule order matters for redaction (each rule rewrites the previous
+rule's output); replacement tokens contain no characters any rule
+matches, so redaction cannot cascade. Counts are always computed on
+the ORIGINAL text, independent per rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# (name, pattern, replacement) — Java-regex/RE2 common subset only.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+        "<PHONE>",
+    ),
+)
+
+
+def _count_cols(text_col: str, rules) -> list:
+    return [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in rules
+    ]
+
+
+def pii_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """(id, n_<rule>..., n_pii): per-document PII match counts, one
+    per rule plus the total. Pure per-row expressions, no shuffle."""
+    counts = _count_cols(text_col, rules)
+    out = docs.select(F.col(id_col).alias(id_col), *counts)
+    total = None
+    for name, _, _ in rules:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """(id, n_<rule>..., n_pii, redacted): counts on the original text
+    plus the text with every rule's matches replaced by its token,
+    applied in rule order. Still zero-shuffle per-row codegen."""
+    red = F.col(text_col)
+    for _, pat, token in rules:
+        red = F.regexp_replace(red, pat, token)
+    counts = _count_cols(text_col, rules)
+    total = None
+    for name, _, _ in rules:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return docs.select(
+        F.col(id_col).alias(id_col), *counts, red.alias("redacted")
+    ).withColumn("n_pii", total).select(
+        id_col, *[f"n_{name}" for name, _, _ in rules], "n_pii", "redacted"
+    )

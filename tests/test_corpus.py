@@ -274,3 +274,46 @@ def test_stratified_hash_sample_rates_and_default(spark):
     en_docs = docs.filter(F.col("lang") == "en")
     want = {r.doc_id for r in hash_sample(en_docs, 0.1).collect()}
     assert {r.doc_id for r in got if r.lang == "en"} == want
+
+
+def test_length_quantiles_exact_vs_numpy(spark):
+    import numpy as np
+
+    from cello_spark.operators.corpus import length_quantiles
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), ["web", "books", "code"][i % 3], int(v))
+        for i, v in enumerate(rng.randint(1, 10_000, size=600))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r.source: r.asDict()
+        for r in length_quantiles(
+            df, probs=(0.25, 0.5, 0.75, 0.95), exact=True
+        ).collect()
+    }
+    for src in ("web", "books", "code"):
+        vals = np.array([v for _, s, v in rows if s == src], dtype=float)
+        want = np.percentile(vals, [25, 50, 75, 95], method="linear")
+        assert got[src]["n"] == len(vals)
+        assert abs(got[src]["mean"] - vals.mean()) < 1e-9
+        for name, w in zip(("p25", "p50", "p75", "p95"), want):
+            assert abs(got[src][name] - w) < 1e-9, (src, name)
+
+
+def test_length_quantiles_approx_bounded_by_exact(spark):
+    import numpy as np
+
+    from cello_spark.operators.corpus import length_quantiles
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), "s", int(v)) for i, v in enumerate(rng.randint(1, 1000, 2000))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    approx = length_quantiles(df, probs=(0.5, 0.95), exact=False).collect()[0]
+    vals = np.array([v for _, _, v in rows], dtype=float)
+    # GK sketch with accuracy=10000 on 2000 rows is exact up to rank
+    # rounding — allow a generous rank-error band of 1% of the range
+    for name, p in (("p50", 50), ("p95", 95)):
+        lo, hi = np.percentile(vals, [max(p - 1, 0), min(p + 1, 100)])
+        assert lo - 1 <= approx[name] <= hi + 1, (name, approx[name], lo, hi)

@@ -204,3 +204,84 @@ def test_portable_minhash_pairs_subset_of_exact(spark, docs):
     for k, v in got.items():
         assert abs(v - truth[k]) < 1e-9
     assert (1, 2) in got and (4, 5) in got
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup
+# ---------------------------------------------------------------------------
+
+LEFT_CORPUS = [(i, t) for i, t in CORPUS if i % 2 == 1]
+RIGHT_CORPUS = [(i + 100, t) for i, t in CORPUS if i % 2 == 0]
+
+
+def _cross_jaccard_oracle(n=3, threshold=0.0):
+    def sh(text):
+        toks = " ".join(text.lower().split()).split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    for ia, ta in LEFT_CORPUS:
+        for ib, tb in RIGHT_CORPUS:
+            a, b = sh(ta), sh(tb)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                out[(ia, ib)] = j
+    return out
+
+
+def test_jaccard_pairs_cross_vs_oracle(spark):
+    left = spark.createDataFrame(LEFT_CORPUS, "doc_id long, text string")
+    right = spark.createDataFrame(RIGHT_CORPUS, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in D.jaccard_pairs_cross(left, right, threshold=0.15).collect()
+    }
+    want = _cross_jaccard_oracle(threshold=0.15)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_cross_subset_and_recall(spark):
+    left = spark.createDataFrame(LEFT_CORPUS, "doc_id long, text string")
+    right = spark.createDataFrame(RIGHT_CORPUS, "doc_id long, text string")
+    exact = _cross_jaccard_oracle(threshold=0.5)
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in D.minhash_lsh_pairs_cross(
+            left, right, threshold=0.5, num_hashes=64, bands=16
+        ).collect()
+    }
+    # verified output is a subset of the exact cross pairs, with exact
+    # jaccard values
+    for k, j in got.items():
+        assert k in exact and abs(j - exact[k]) < 1e-12
+    # at 16 bands x 4 rows, P(candidate | J>=0.8) > 0.999 — the dup
+    # pair (1, 102) J=1.0 must be found
+    assert (1, 102) in got
+
+
+def test_cross_cap_drops_union_boilerplate(spark):
+    """A shingle whose union doc-frequency exceeds the cap is dropped
+    from both sides even when per-side df is under the cap."""
+    boiler = "shared boilerplate header line"
+    left = spark.createDataFrame(
+        [(i, boiler) for i in range(3)], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(3)], "doc_id long, text string"
+    )
+    # union df = 6 > cap 5 → no shingles survive → no pairs
+    none = D.jaccard_pairs_cross(
+        left, right, threshold=0.1, max_shingle_df=5
+    ).collect()
+    assert none == []
+    # cap 6 keeps them → full 3x3 pair grid at J=1
+    full = D.jaccard_pairs_cross(
+        left, right, threshold=0.1, max_shingle_df=6
+    ).collect()
+    assert len(full) == 9 and all(abs(r.jaccard - 1.0) < 1e-12 for r in full)
