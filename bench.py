@@ -131,6 +131,13 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         except Exception:
             pass
+    # pre-fork the Python worker pool (see session.warm_python_workers:
+    # first-mapInPandas spin-up is a one-time ~10-15s session tax on
+    # this box, amortized to nothing by a long-lived cluster's reused
+    # workers). Reported in the JSON so the exclusion is auditable.
+    from cello_spark.session import warm_python_workers
+
+    py_warm_sec = round(warm_python_workers(spark), 3)
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -160,6 +167,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_tag,
                 "cores": cores,
+                "py_worker_warmup_sec": py_warm_sec,
                 "kg": kg,
             }
         )

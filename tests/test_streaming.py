@@ -228,3 +228,69 @@ def test_stateful_totals_accumulate_and_survive_restart(spark, world, tmp_path):
     # at least one term grew across the restart (state actually reused)
     grew = [t for t in got2 if t in got1 and got2[t] > got1[t]]
     assert grew
+
+
+def test_mention_rates_watermark_finalizes_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling-window semantics of mention_rates, driven
+    batch-by-batch: a window is emitted exactly once (append mode)
+    after the watermark passes its end, and a row arriving later than
+    the watermark is DROPPED — the finalized count never includes it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cello_spark.streaming.ingest import mention_rates
+
+    import os
+
+    src = str(tmp_path / "rates_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "term_id string, ingest_ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = mention_rates(
+        stream, event_time_col="ingest_ts", window="1 minute",
+        watermark="2 minutes",
+    ).select(
+        F.col("window.start").alias("ws"), "term_id", "n_mentions"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rates_wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rates_ckpt"))
+        .start()
+    )
+    T0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+
+    try:
+        # two on-time rows in window [10:00, 10:01)
+        feed([("t1", T0 + dt.timedelta(seconds=10)),
+              ("t1", T0 + dt.timedelta(seconds=20))])
+        # advance event time → watermark 10:03 closes the first window
+        feed([("t1", T0 + dt.timedelta(minutes=5))])
+        # a LATE row for the closed window (10:00:30 < watermark) must
+        # be dropped; also push event time further
+        feed([("t1", T0 + dt.timedelta(seconds=30)),
+              ("t1", T0 + dt.timedelta(minutes=6))])
+        # final advance so the 10:05 / 10:06 windows finalize too
+        feed([("t1", T0 + dt.timedelta(minutes=9))])
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select ws, term_id, n_mentions from rates_wm_test"
+    ).collect()
+    by_ws = {}
+    for r in rows:
+        # append mode emits each finalized window exactly once
+        assert (r.ws, r.term_id) not in by_ws, "duplicate window emission"
+        by_ws[(r.ws, r.term_id)] = r.n_mentions
+    # the closed first window counts the 2 on-time rows, NOT the late one
+    assert by_ws[(T0, "t1")] == 2
+    assert by_ws[(T0 + dt.timedelta(minutes=5), "t1")] == 1
+    assert by_ws[(T0 + dt.timedelta(minutes=6), "t1")] == 1
