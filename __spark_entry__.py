@@ -1450,6 +1450,66 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query over a triple table
+    derived from TPC-H entities: customers and suppliers co-located in
+    a European nation. Constant terms push down to the triple scan;
+    the three templates chain on shared variables as Catalyst
+    equi-joins (free to reorder)."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.bgp import match_bgp
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    triples = (
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select(
+            F.col("n_name").alias("subj"),
+            F.lit("in_region").alias("pred"),
+            F.col("r_name").alias("obj"),
+        )
+        .unionByName(
+            cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("subj"),
+                F.lit("in_nation").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("subj"),
+                F.lit("supplies_in").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return match_bgp(
+        triples,
+        [
+            ("?c", "in_nation", "?n"),
+            ("?s", "supplies_in", "?n"),
+            ("?n", "in_region", "EUROPE"),
+        ],
+    ).orderBy("c", "s")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (chunk 64, overlap 16) — the
+    context-window splitting step of an LLM training / RAG pipeline.
+    One WholeStageCodegen span, zero shuffle; chunk counts use pure
+    positive-numerator integer arithmetic so the DuckDB oracle
+    replicates them exactly."""
+    from cello_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1515,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_cross_dedup": q_cross_dedup,
         "q_length_quantiles": q_length_quantiles,
+        "q_bgp_match": q_bgp_match,
+        "q_chunk_documents": q_chunk_documents,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3064,6 +3126,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes_l sa ON sa.doc_id = a
             JOIN sizes_r sb ON sb.doc_id = b
             WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+        """,
+        "q_bgp_match": """
+            -- independent formulation: plain joins over the base
+            -- tables (no triple construction), same bindings
+            SELECT DISTINCT
+                   'c' || CAST(c.c_custkey AS VARCHAR) AS c,
+                   n.n_name AS n,
+                   's' || CAST(s.s_suppkey AS VARCHAR) AS s
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        """,
+        "q_chunk_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ), nz AS (
+              SELECT doc_id, t, len(t) AS L FROM toks WHERE len(t) > 0
+            ), nc AS (
+              SELECT doc_id, t, L,
+                     1 + CASE WHEN L > 64
+                              THEN (L - 64 + 48 - 1) // 48 ELSE 0 END AS n
+              FROM nz
+            ), c AS (
+              SELECT doc_id, i AS chunk_idx,
+                     t[i * 48 + 1 : i * 48 + 64] AS chunk
+              FROM nc, LATERAL (SELECT unnest(range(0, n)) AS i)
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(chunk, ' ') AS chunk_text,
+                   len(chunk) AS n_tokens
+            FROM c
         """,
         "q_length_quantiles": """
             SELECT source,

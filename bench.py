@@ -51,6 +51,8 @@ HEADLINE = [
     "q_pii_scrub",
     "q_cross_dedup",
     "q_length_quantiles",
+    "q_bgp_match",
+    "q_chunk_documents",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

@@ -257,3 +257,56 @@ def length_quantiles(
         )
         aggs.append(col.cast("double").alias(name))
     return docs.groupBy(group_col).agg(*aggs)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-token-length chunks with overlap
+    — the context-window chunking step every LLM training / RAG
+    indexing pipeline runs between cleaning and tokenization.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; a
+    doc with <= chunk_tokens tokens yields exactly one chunk; empty
+    docs yield none. Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Scale: tokenization + slice + posexplode all inside one
+    WholeStageCodegen span, zero shuffle (the explode is pipelined
+    with the scan); only O(chunk_tokens) bytes per output row are
+    materialized. Chunk counts are derived with pure integer
+    arithmetic on positive numerators, so the DuckDB oracle can
+    replicate them exactly."""
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col).alias(id_col),
+        _tokens(text_col).alias("t"),
+    ).filter(F.size("t") > 0)
+    # extra full strides beyond the first chunk; numerator kept
+    # positive so int division is floor in every engine
+    n_expr = (
+        f"1 + if(size(t) > {chunk_tokens}, "
+        f"(size(t) - {chunk_tokens} + {stride} - 1) div {stride}, 0)"
+    )
+    return toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_expr} - 1), "
+                f"i -> slice(t, i * {stride} + 1, {chunk_tokens}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").alias("n_tokens"),
+    )

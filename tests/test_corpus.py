@@ -317,3 +317,80 @@ def test_length_quantiles_approx_bounded_by_exact(spark):
     for name, p in (("p50", 50), ("p95", 95)):
         lo, hi = np.percentile(vals, [max(p - 1, 0), min(p + 1, 100)])
         assert lo - 1 <= approx[name] <= hi + 1, (name, approx[name], lo, hi)
+
+
+def _chunk_oracle(text, chunk, overlap):
+    toks = " ".join(text.lower().split()).split()
+    if not toks:
+        return []
+    stride = chunk - overlap
+    out = []
+    i = 0
+    idx = 0
+    while True:
+        piece = toks[i : i + chunk]
+        out.append((idx, " ".join(piece), len(piece)))
+        if i + chunk >= len(toks):
+            break
+        i += stride
+        idx += 1
+    return out
+
+
+def test_chunk_documents_vs_oracle(spark):
+    from cello_spark.operators.corpus import chunk_documents
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(25))),   # multi-chunk
+        (2, " ".join(f"w{i}" for i in range(10))),   # exactly one chunk
+        (3, "single"),                                # short
+        (4, ""),                                      # empty -> no chunks
+        (5, " ".join(f"w{i}" for i in range(11))),   # boundary: chunk+1
+        (6, " ".join(f"w{i}" for i in range(17))),   # boundary: chunk+stride
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=10, overlap=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_text, r.n_tokens)
+        )
+    for doc_id, text in docs:
+        want = _chunk_oracle(text, 10, 3)
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+
+
+def test_chunk_documents_coverage_invariant(spark):
+    """Every token index is covered by >=1 chunk and consecutive
+    chunks overlap by exactly `overlap` (except a short last chunk)."""
+    from cello_spark.operators.corpus import chunk_documents
+
+    n_tok, chunk, ov = 83, 16, 5
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(n_tok)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=ov).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    stride = chunk - ov
+    covered = set()
+    for r in rows:
+        start = r.chunk_idx * stride
+        assert r.chunk_text.split()[0] == f"w{start}"
+        covered.update(range(start, start + r.n_tokens))
+    assert covered == set(range(n_tok))
+    # all but the last chunk are full-length
+    assert all(r.n_tokens == chunk for r in rows[:-1])
+
+
+def test_chunk_documents_errors(spark):
+    from cello_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=-1)
