@@ -1510,6 +1510,37 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal: the sf documents are re-shaped
+    into 10-token paragraphs (deterministic, mirrored in the oracle),
+    then every paragraph occurring anywhere earlier (min (doc_id,
+    pos)) is removed and documents are rebuilt from the survivors.
+    One map-side-combinable winner aggregate per fingerprint — a
+    boilerplate paragraph costs one row, never a self-join blow-up."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.corpus import chunk_documents
+    from cello_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=10, overlap=0)
+    parad = ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    parad = (
+        docs.select("doc_id")
+        .join(parad, "doc_id", "left")
+        .fillna({"text": ""})
+    )
+    return dedup_paragraphs(parad).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1577,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_quantiles": q_length_quantiles,
         "q_bgp_match": q_bgp_match,
         "q_chunk_documents": q_chunk_documents,
+        "q_dedup_paragraphs": q_dedup_paragraphs,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3159,6 +3191,51 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(chunk, ' ') AS chunk_text,
                    len(chunk) AS n_tokens
             FROM c
+        """,
+        "q_dedup_paragraphs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+            ), nz AS (
+              SELECT doc_id, t, len(t) AS L FROM toks WHERE len(t) > 0
+            ), nc AS (
+              SELECT doc_id, t, L,
+                     1 + CASE WHEN L > 10
+                              THEN (L - 10 + 10 - 1) // 10 ELSE 0 END AS n
+              FROM nz
+            ), parts AS (
+              -- the 10-token paragraphs themselves are the exploded
+              -- spans (splitting the rebuilt text returns exactly them)
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS para
+              FROM nc, LATERAL (SELECT unnest(range(0, n)) AS i)
+            ), fps AS (
+              -- paragraphs are already normalized (lowercased,
+              -- space-joined tokens), so fingerprint = md5(para)
+              SELECT doc_id, pos, para, md5(para) AS fp FROM parts
+            ), m1 AS (
+              SELECT fp, min(doc_id) AS kd FROM fps GROUP BY fp
+            ), first AS (
+              SELECT p.fp, p.doc_id AS kd, min(p.pos) AS kp
+              FROM fps p JOIN m1 ON p.fp = m1.fp AND p.doc_id = m1.kd
+              GROUP BY p.fp, p.doc_id
+            ), kept AS (
+              SELECT p.doc_id, p.pos, p.para
+              FROM fps p
+              JOIN first f ON p.fp = f.fp AND p.doc_id = f.kd AND p.pos = f.kp
+            ), stats AS (
+              SELECT doc_id, count(*) AS n_paragraphs FROM fps GROUP BY doc_id
+            ), reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(para, chr(10) ORDER BY pos) AS text_deduped
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_paragraphs, 0) AS n_paragraphs,
+                   coalesce(n_kept, 0) AS n_kept,
+                   coalesce(text_deduped, '') AS text_deduped
+            FROM documents d
+            LEFT JOIN stats USING (doc_id)
+            LEFT JOIN reb USING (doc_id)
         """,
         "q_length_quantiles": """
             SELECT source,

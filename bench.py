@@ -53,6 +53,7 @@ HEADLINE = [
     "q_length_quantiles",
     "q_bgp_match",
     "q_chunk_documents",
+    "q_dedup_paragraphs",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

@@ -615,3 +615,82 @@ def minhash_lsh_pairs_cross(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (C4-style duplicate-paragraph removal)
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove exact-duplicate paragraphs corpus-wide, keeping only the
+    FIRST occurrence (lexicographic min (doc_id, position)) — the
+    span-granularity dedup between doc-level exact dedup and near-dup
+    pairing (C4, Raffel et al. 2020 §2.2, discards repeated spans
+    corpus-wide; MassiveText dedups at document AND paragraph level).
+
+    Paragraph identity is the md5 of the normalized text (same
+    whitespace/case fold as doc-level dedup). Output one row per input
+    doc: (id, n_paragraphs, n_kept, text_deduped) where text_deduped
+    re-joins the surviving paragraphs in original order ('' when every
+    paragraph was removed or the doc was empty).
+
+    Plan: ONE map-side-combinable groupBy(fingerprint) agg computing
+    the min (doc_id, pos) struct (no window over the full explode),
+    an equi-join of the exploded paragraphs against their winner, and
+    the per-doc rebuild aggregate. Shuffle keys are fingerprints and
+    doc ids — uniform, no hub skew; a boilerplate paragraph shared by
+    10^6 docs costs ONE aggregate row (contrast the O(df^2) shingle
+    self-join this family caps elsewhere)."""
+    import re as _re
+
+    parts = (
+        ensure_min_partitions(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("pos", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("fp", fingerprint_md5("para"))
+    )
+    first = parts.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = (
+        parts.join(first, "fp")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("pos") == F.col("w.pos"))
+        )
+        .select("doc_id", "pos", "para")
+    )
+    stats = parts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

@@ -285,3 +285,55 @@ def test_cross_cap_drops_union_boilerplate(spark):
         left, right, threshold=0.1, max_shingle_df=6
     ).collect()
     assert len(full) == 9 and all(abs(r.jaccard - 1.0) < 1e-12 for r in full)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+PARA_DOCS = [
+    (1, "alpha beta\nshared boiler plate\ngamma delta"),
+    (2, "shared boiler plate\nunique two\nShared  Boiler Plate"),  # dup of 1's kept + case/ws dup
+    (3, "unique three\nshared boiler plate"),
+    (4, ""),                                    # empty doc
+    (5, "\n\n"),                                # only empty paragraphs
+    (6, "alpha beta"),                          # dup of doc 1 pos 0
+]
+
+
+def _para_oracle():
+    def norm(p):
+        return " ".join(p.lower().split())
+
+    first = {}
+    for doc_id, text in PARA_DOCS:
+        for pos, para in enumerate(text.split("\n")):
+            if not para.strip():
+                continue
+            k = norm(para)
+            if k not in first or (doc_id, pos) < first[k]:
+                first[k] = (doc_id, pos)
+    out = {}
+    for doc_id, text in PARA_DOCS:
+        paras = [
+            (pos, p) for pos, p in enumerate(text.split("\n")) if p.strip()
+        ]
+        kept = [p for pos, p in paras if first[norm(p)] == (doc_id, pos)]
+        out[doc_id] = (len(paras), len(kept), "\n".join(kept))
+    return out
+
+
+def test_dedup_paragraphs_vs_oracle(spark):
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paragraphs, r.n_kept, r.text_deduped)
+        for r in D.dedup_paragraphs(df).collect()
+    }
+    assert got == _para_oracle()
+    # spot-pin the semantics: doc 1 keeps everything (first occurrence),
+    # doc 2 loses both copies of the boilerplate, doc 6 loses its only line
+    assert got[1] == (3, 3, "alpha beta\nshared boiler plate\ngamma delta")
+    assert got[2] == (3, 1, "unique two")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (0, 0, "")
+    assert got[6] == (1, 0, "")
