@@ -1450,21 +1450,18 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL-style basic-graph-pattern query over a triple table
-    derived from TPC-H entities: customers and suppliers co-located in
-    a European nation. Constant terms push down to the triple scan;
-    the three templates chain on shared variables as Catalyst
-    equi-joins (free to reorder)."""
+def _entity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (subj, pred, obj) triple table over the TPC-H
+    entities: nation-in_region, customer-in_nation, supplier-
+    supplies_in. Shared by the BGP / KG-maintenance queries; mirrored
+    verbatim in their DuckDB oracles."""
     from pyspark.sql import functions as F
-
-    from cello_spark.operators.bgp import match_bgp
 
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
-    triples = (
+    return (
         nat.join(reg, nat.n_regionkey == reg.r_regionkey)
         .select(
             F.col("n_name").alias("subj"),
@@ -1486,8 +1483,18 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query over a triple table
+    derived from TPC-H entities: customers and suppliers co-located in
+    a European nation. Constant terms push down to the triple scan;
+    the three templates chain on shared variables as Catalyst
+    equi-joins (free to reorder)."""
+    from cello_spark.operators.bgp import match_bgp
+
     return match_bgp(
-        triples,
+        _entity_triples(spark, sf_dir),
         [
             ("?c", "in_nation", "?n"),
             ("?s", "supplies_in", "?n"),
@@ -1508,6 +1515,31 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two KG builds: 'old' drops customers with
+    custkey % 3 = 0, 'new' drops custkey % 2 = 0 — per-predicate churn
+    (added/removed/unchanged) via anti/semi joins on the triple key."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.kgops import kg_diff_summary
+
+    t = _entity_triples(spark, sf_dir)
+    ck = F.conv(F.substring(F.md5("subj"), 1, 15), 16, 10).cast("bigint")
+    old = t.where(~((F.col("pred") == "in_nation") & (ck % 3 == 0)))
+    new = t.where(~((F.col("pred") == "in_nation") & (ck % 2 == 0)))
+    return kg_diff_summary(old, new).orderBy("pred")
+
+
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate degree profile of the entity KG — n_triples,
+    distinct subjects/objects, max out/in degree, avg out degree. The
+    max_in_degree column is the hub-term detector that picks the
+    salting threshold for skewed aggregates (operators/skew.py)."""
+    from cello_spark.operators.kgops import kg_degree_stats
+
+    return kg_degree_stats(_entity_triples(spark, sf_dir)).orderBy("pred")
 
 
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1609,6 +1641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bgp_match": q_bgp_match,
         "q_chunk_documents": q_chunk_documents,
         "q_dedup_paragraphs": q_dedup_paragraphs,
+        "q_kg_diff": q_kg_diff,
+        "q_kg_degree": q_kg_degree,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3191,6 +3225,73 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(chunk, ' ') AS chunk_text,
                    len(chunk) AS n_tokens
             FROM c
+        """,
+        "q_kg_diff": f"""
+            WITH t AS (
+              SELECT n_name AS subj, 'in_region' AS pred, r_name AS obj
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              UNION ALL
+              SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation', n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplies_in', n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), old AS (
+              SELECT DISTINCT * FROM t
+              WHERE NOT (pred = 'in_nation' AND {_duck_h64("subj")} % 3 = 0)
+            ), new AS (
+              SELECT DISTINCT * FROM t
+              WHERE NOT (pred = 'in_nation' AND {_duck_h64("subj")} % 2 = 0)
+            ), added AS (
+              SELECT pred, count(*) AS n_added
+              FROM (SELECT * FROM new EXCEPT SELECT * FROM old) GROUP BY pred
+            ), removed AS (
+              SELECT pred, count(*) AS n_removed
+              FROM (SELECT * FROM old EXCEPT SELECT * FROM new) GROUP BY pred
+            ), unchanged AS (
+              SELECT pred, count(*) AS n_unchanged
+              FROM (SELECT * FROM new INTERSECT SELECT * FROM old)
+              GROUP BY pred
+            )
+            SELECT p.pred,
+                   coalesce(n_added, 0) AS n_added,
+                   coalesce(n_removed, 0) AS n_removed,
+                   coalesce(n_unchanged, 0) AS n_unchanged
+            FROM (SELECT DISTINCT pred FROM t) p
+            LEFT JOIN added USING (pred)
+            LEFT JOIN removed USING (pred)
+            LEFT JOIN unchanged USING (pred)
+        """,
+        "q_kg_degree": """
+            WITH t AS (
+              SELECT n_name AS subj, 'in_region' AS pred, r_name AS obj
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              UNION ALL
+              SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation', n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplies_in', n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), d AS (
+              SELECT DISTINCT subj, pred, obj FROM t
+            ), od AS (
+              SELECT pred, subj, count(*) AS deg FROM d GROUP BY 1, 2
+            ), idg AS (
+              SELECT pred, obj, count(*) AS deg FROM d GROUP BY 1, 2
+            ), op AS (
+              SELECT pred,
+                     CAST(sum(deg) AS BIGINT) AS n_triples,
+                     count(*) AS n_subjects,
+                     max(deg) AS max_out_degree,
+                     round(sum(deg) * 1.0 / count(*), 6) AS avg_out_degree
+              FROM od GROUP BY pred
+            ), ip AS (
+              SELECT pred, count(*) AS n_objects, max(deg) AS max_in_degree
+              FROM idg GROUP BY pred
+            )
+            SELECT pred, n_triples, n_subjects, n_objects,
+                   max_out_degree, max_in_degree, avg_out_degree
+            FROM op JOIN ip USING (pred)
         """,
         "q_dedup_paragraphs": f"""
             WITH toks AS (

@@ -1,0 +1,109 @@
+"""KG maintenance operators: snapshot diff and degree profiling.
+
+An incremental KG-construction pipeline (streaming/ingest.py
+`run_incremental_kg`) needs exactly two maintenance primitives the
+triple table itself doesn't give you:
+
+- `kg_diff` / `kg_diff_summary`: what changed between two snapshots
+  (crawl increments, re-runs after a model update) — set difference
+  over (subj, pred, obj), plus per-predicate churn counts. This is
+  how a re-linked corpus is audited before the new snapshot is
+  promoted.
+- `kg_degree_stats`: per-predicate out/in-degree profile. Hub terms
+  (the reference ontology's CL:0000000 'cell' ancestor, matched by
+  the salted-join handling in operators/skew.py) are exactly the
+  subjects/objects this surfaces — the measured input that picks the
+  salting threshold instead of a guess.
+
+Scale: everything is anti-joins / two-level aggregations on the
+triple key — shuffle keys are (subj, pred, obj) tuples or (pred,
+node) pairs, map-side combinable; the Iceberg triple sink's
+bucket-by-doc + pred partitioning means snapshot diffs co-locate.
+No reference analog (CellO emits flat classification tables);
+semantics are the standard set-difference / degree-sequence
+definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_KEY = ["subj", "pred", "obj"]
+
+
+def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Set difference between two triple snapshots:
+    (op ∈ {added, removed}, subj, pred, obj). Distinct semantics —
+    duplicate rows within a snapshot count once."""
+    added = (
+        new.select(_KEY).dropDuplicates()
+        .join(old.select(_KEY).dropDuplicates(), _KEY, "left_anti")
+        .withColumn("op", F.lit("added"))
+    )
+    removed = (
+        old.select(_KEY).dropDuplicates()
+        .join(new.select(_KEY).dropDuplicates(), _KEY, "left_anti")
+        .withColumn("op", F.lit("removed"))
+    )
+    return added.unionByName(removed).select("op", *_KEY)
+
+
+def kg_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-predicate churn: (pred, n_added, n_removed, n_unchanged).
+    One pass over the diff plus a semi-join count for the stable set."""
+    d = kg_diff(old, new)
+    churn = d.groupBy("pred").agg(
+        F.sum(F.when(F.col("op") == "added", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("op") == "removed", 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+    )
+    unchanged = (
+        new.select(_KEY).dropDuplicates()
+        .join(old.select(_KEY).dropDuplicates(), _KEY, "left_semi")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_unchanged"))
+    )
+    return (
+        churn.join(unchanged, "pred", "full")
+        .select(
+            "pred",
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("n_unchanged", F.lit(0)).alias("n_unchanged"),
+        )
+    )
+
+
+def kg_degree_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate degree profile over distinct triples:
+    (pred, n_triples, n_subjects, n_objects, max_out_degree,
+    max_in_degree, avg_out_degree). max_in_degree is the hub-term
+    detector: a predicate whose max_in_degree is orders of magnitude
+    above its average is the one that needs a salted aggregate/join
+    (operators/skew.py) at scale. Two two-level aggregations, both
+    map-side combinable."""
+    t = triples.select(_KEY).dropDuplicates()
+    out_deg = t.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    in_deg = t.groupBy("pred", "obj").agg(F.count(F.lit(1)).alias("deg"))
+    out_prof = out_deg.groupBy("pred").agg(
+        F.sum("deg").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.max("deg").alias("max_out_degree"),
+        (F.sum("deg") / F.count(F.lit(1))).alias("avg_out_degree"),
+    )
+    in_prof = in_deg.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.max("deg").alias("max_in_degree"),
+    )
+    return out_prof.join(in_prof, "pred").select(
+        "pred",
+        "n_triples",
+        "n_subjects",
+        "n_objects",
+        "max_out_degree",
+        "max_in_degree",
+        F.round("avg_out_degree", 6).alias("avg_out_degree"),
+    )

@@ -1,0 +1,68 @@
+"""KG maintenance operator tests vs fresh-Python set/degree oracles."""
+
+import pytest
+
+from cello_spark.operators.kgops import kg_degree_stats, kg_diff, kg_diff_summary
+
+OLD = [
+    ("a", "is_a", "b"),
+    ("b", "is_a", "c"),
+    ("x", "part_of", "y"),
+    ("x", "part_of", "y"),  # duplicate row: counts once
+    ("q", "is_a", "c"),
+]
+NEW = [
+    ("a", "is_a", "b"),
+    ("b", "is_a", "c"),
+    ("x", "part_of", "z"),   # y -> z rewired
+    ("n1", "is_a", "c"),     # new triple
+]
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    return mk(OLD), mk(NEW)
+
+
+def test_kg_diff_matches_set_oracle(spark, dfs):
+    old, new = dfs
+    so, sn = set(OLD), set(NEW)
+    got = {(r.op, r.subj, r.pred, r.obj) for r in kg_diff(old, new).collect()}
+    want = {("added", *t) for t in sn - so} | {("removed", *t) for t in so - sn}
+    assert got == want
+    assert ("removed", "x", "part_of", "y") in got
+    assert ("added", "x", "part_of", "z") in got
+
+
+def test_kg_diff_summary(spark, dfs):
+    old, new = dfs
+    got = {r.pred: (r.n_added, r.n_removed, r.n_unchanged)
+           for r in kg_diff_summary(old, new).collect()}
+    assert got == {"is_a": (1, 1, 2), "part_of": (1, 1, 0)}
+
+
+def test_kg_degree_stats_vs_oracle(spark, dfs):
+    old, _ = dfs
+    got = {r.pred: r.asDict() for r in kg_degree_stats(old).collect()}
+    # is_a: triples {(a,b),(b,c),(q,c)} — subj a,b,q; obj b,c; max in-deg c=2
+    assert got["is_a"]["n_triples"] == 3
+    assert got["is_a"]["n_subjects"] == 3
+    assert got["is_a"]["n_objects"] == 2
+    assert got["is_a"]["max_out_degree"] == 1
+    assert got["is_a"]["max_in_degree"] == 2
+    assert abs(got["is_a"]["avg_out_degree"] - 1.0) < 1e-9
+    # part_of: the duplicate row counts once
+    assert got["part_of"]["n_triples"] == 1
+
+
+def test_degree_stats_hub_detection(spark):
+    """A star graph (everything is_a hub) shows up as max_in_degree =
+    n, exactly the salting signal."""
+    n = 50
+    rows = [(f"t{i}", "is_a", "hub") for i in range(n)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    r = kg_degree_stats(df).collect()[0]
+    assert r.max_in_degree == n and r.n_objects == 1
