@@ -1542,6 +1542,19 @@ def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_degree_stats(_entity_triples(spark, sf_dir)).orderBy("pred")
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TransE-style negative sampling over the entity
+    KG: k=2 type-consistent object corruptions per positive, md5-keyed
+    draws, anti-joined against the true triples (no false negatives).
+    The whole plan is windows + joins on uniform keys — no driver-side
+    domain collection."""
+    from cello_spark.operators.kgops import kg_negative_samples
+
+    return kg_negative_samples(
+        _entity_triples(spark, sf_dir), k=2, seed=42, corrupt="obj"
+    ).orderBy("pos_subj", "pred", "pos_obj", "draw")
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: the sf documents are re-shaped
     into 10-token paragraphs (deterministic, mirrored in the oracle),
@@ -1643,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_paragraphs": q_dedup_paragraphs,
         "q_kg_diff": q_kg_diff,
         "q_kg_degree": q_kg_degree,
+        "q_kg_negatives": q_kg_negatives,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3292,6 +3306,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, n_triples, n_subjects, n_objects,
                    max_out_degree, max_in_degree, avg_out_degree
             FROM op JOIN ip USING (pred)
+        """,
+        "q_kg_negatives": f"""
+            WITH t AS (
+              SELECT n_name AS subj, 'in_region' AS pred, r_name AS obj
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              UNION ALL
+              SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation', n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplies_in', n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), d AS (
+              SELECT DISTINCT subj, pred, obj FROM t
+            ), dom AS (
+              SELECT pred, ent,
+                     row_number() OVER (PARTITION BY pred ORDER BY ent) - 1
+                       AS idx
+              FROM (SELECT DISTINCT pred, obj AS ent FROM d)
+            ), ds AS (
+              SELECT pred, count(*) AS dom_sz FROM dom GROUP BY pred
+            ), reqs AS (
+              SELECT d.subj, d.pred, d.obj, i AS draw,
+                     {_duck_h64("concat_ws(chr(1), d.subj, d.pred, d.obj, "
+                                "'42', CAST(i AS VARCHAR))")} % dom_sz AS idx
+              FROM d JOIN ds USING (pred),
+                   LATERAL (SELECT unnest(range(0, 2)) AS i)
+            ), cor AS (
+              SELECT r.subj, r.pred, r.obj, r.draw, dom.ent AS neg_ent
+              FROM reqs r
+              JOIN dom ON r.pred = dom.pred AND r.idx = dom.idx
+              WHERE dom.ent != r.obj
+            ), neg AS (
+              SELECT subj AS pos_subj, pred, obj AS pos_obj, draw,
+                     subj AS neg_subj, neg_ent AS neg_obj
+              FROM cor
+            )
+            SELECT n.pos_subj, n.pred, n.pos_obj, n.draw,
+                   n.neg_subj, n.neg_obj
+            FROM neg n
+            LEFT JOIN d ON n.neg_subj = d.subj AND n.pred = d.pred
+                       AND n.neg_obj = d.obj
+            WHERE d.subj IS NULL
         """,
         "q_dedup_paragraphs": f"""
             WITH toks AS (

@@ -54,6 +54,9 @@ HEADLINE = [
     "q_bgp_match",
     "q_chunk_documents",
     "q_dedup_paragraphs",
+    "q_kg_diff",
+    "q_kg_degree",
+    "q_kg_negatives",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

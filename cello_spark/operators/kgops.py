@@ -107,3 +107,100 @@ def kg_degree_stats(triples: DataFrame) -> DataFrame:
         "max_in_degree",
         F.round("avg_out_degree", 6).alias("avg_out_degree"),
     )
+
+
+def kg_negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+    seed: int = 42,
+    corrupt: str = "obj",
+) -> DataFrame:
+    """Type-consistent negative sampling for KG-embedding training
+    (TransE / DistMult style): for every positive (s, p, o) emit up to
+    k corrupted triples replacing the object (corrupt='obj') or
+    subject ('subj') with a pseudorandom entity from THE SAME
+    predicate's entity domain, then drop corruptions that collide with
+    a true triple (no false negatives). Deterministic: draw i of a
+    triple picks the entity whose dense rank in the sorted per-pred
+    domain equals md5-hash(s, p, o, seed, i) mod |domain|, so re-runs,
+    resumes, and other engines reproduce the samples bit-for-bit (the
+    standard reproducibility requirement for training corpora).
+
+    After the collision filter (and the self-collision drop when the
+    draw equals the original entity) a positive may yield fewer than k
+    negatives — standard practice; callers wanting exactly k re-draw
+    with a second seed.
+
+    Scale: the domain index is ONE row_number window per predicate
+    (shuffle by pred; domains are per-predicate so no global sort),
+    corruption requests join the indexed domain on (pred, idx) — a
+    uniform hash key, no hub skew — and the false-negative filter is
+    one anti-join on the triple key. No driver-side collection, no
+    broadcast of unbounded domains."""
+    if corrupt not in ("obj", "subj"):
+        raise ValueError(f"corrupt must be 'obj' or 'subj', got {corrupt!r}")
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj").dropDuplicates()
+    ent_col = corrupt
+    dom = (
+        t.select("pred", F.col(ent_col).alias("ent"))
+        .dropDuplicates()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("pred").orderBy("ent")) - 1,
+        )
+    )
+    dom_sizes = dom.groupBy("pred").agg(F.count(F.lit(1)).alias("dom_sz"))
+    reqs = (
+        t.join(dom_sizes, "pred")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}), i -> "
+                    f"cast(conv(substring(md5(concat_ws(chr(1), subj, pred, "
+                    f"obj, '{seed}', cast(i AS string))), 1, 15), 16, 10) "
+                    f"AS bigint) % dom_sz)"
+                )
+            ).alias("draw", "idx"),
+        )
+        .withColumn("idx", F.col("idx").cast("int"))
+    )
+    corrupted = reqs.join(dom, ["pred", "idx"]).select(
+        "subj",
+        "pred",
+        "obj",
+        "draw",
+        F.col("ent").alias("neg_ent"),
+    )
+    # self-collisions (draw == original entity) carry no signal
+    corrupted = corrupted.filter(F.col("neg_ent") != F.col(ent_col))
+    neg = corrupted.select(
+        F.col("subj").alias("pos_subj"),
+        F.col("pred").alias("pred"),
+        F.col("obj").alias("pos_obj"),
+        "draw",
+        (
+            F.col("neg_ent").alias("neg_subj")
+            if ent_col == "subj"
+            else F.col("subj").alias("neg_subj")
+        ),
+        (
+            F.col("obj").alias("neg_obj")
+            if ent_col == "subj"
+            else F.col("neg_ent").alias("neg_obj")
+        ),
+    )
+    # no false negatives: the corrupted triple must not be true
+    return neg.join(
+        t.select(
+            F.col("subj").alias("neg_subj"),
+            "pred",
+            F.col("obj").alias("neg_obj"),
+        ),
+        ["neg_subj", "pred", "neg_obj"],
+        "left_anti",
+    ).select("pos_subj", "pred", "pos_obj", "draw", "neg_subj", "neg_obj")

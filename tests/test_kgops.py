@@ -66,3 +66,73 @@ def test_degree_stats_hub_detection(spark):
     df = spark.createDataFrame(rows, "subj string, pred string, obj string")
     r = kg_degree_stats(df).collect()[0]
     assert r.max_in_degree == n and r.n_objects == 1
+
+
+def _neg_oracle(triples, k, seed, corrupt):
+    import hashlib
+
+    t = sorted(set(triples))
+    doms = {}
+    for s, p, o in t:
+        doms.setdefault(p, set()).add(o if corrupt == "obj" else s)
+    doms = {p: sorted(v) for p, v in doms.items()}
+    true = set(t)
+    out = set()
+    for s, p, o in t:
+        dom = doms[p]
+        for i in range(k):
+            key = "\x01".join([s, p, o, str(seed), str(i)])
+            h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+            ent = dom[h % len(dom)]
+            if corrupt == "obj":
+                if ent == o:
+                    continue
+                cand = (s, p, ent)
+            else:
+                if ent == s:
+                    continue
+                cand = (ent, p, o)
+            if cand in true:
+                continue
+            out.add((s, p, o, i, cand[0], cand[2]))
+    return out
+
+
+def test_kg_negative_samples_vs_oracle(spark):
+    from cello_spark.operators.kgops import kg_negative_samples
+
+    rows = [
+        (f"e{i}", "is_a", f"e{(i * 3 + 1) % 17}") for i in range(17)
+    ] + [
+        (f"e{i}", "part_of", f"g{i % 5}") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    for corrupt in ("obj", "subj"):
+        got = {
+            (r.pos_subj, r.pred, r.pos_obj, r.draw, r.neg_subj, r.neg_obj)
+            for r in kg_negative_samples(
+                df, k=3, seed=7, corrupt=corrupt
+            ).collect()
+        }
+        want = _neg_oracle(rows, k=3, seed=7, corrupt=corrupt)
+        assert got == want, (corrupt, len(got), len(want))
+        # every emitted negative is genuinely false and type-consistent
+        true = set(rows)
+        doms = {}
+        for s, p, o in rows:
+            doms.setdefault(p, set()).add(o if corrupt == "obj" else s)
+        for ps, p, po, d, ns, no in got:
+            assert (ns, p, no) not in true
+            assert (no if corrupt == "obj" else ns) in doms[p]
+
+
+def test_kg_negative_samples_deterministic(spark):
+    from cello_spark.operators.kgops import kg_negative_samples
+
+    rows = [(f"a{i}", "r", f"b{i % 4}") for i in range(10)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    one = set(map(tuple, kg_negative_samples(df, k=2, seed=1).collect()))
+    two = set(map(tuple, kg_negative_samples(df.repartition(7), k=2, seed=1).collect()))
+    assert one == two and len(one) > 0
+    other_seed = set(map(tuple, kg_negative_samples(df, k=2, seed=2).collect()))
+    assert one != other_seed
