@@ -1555,6 +1555,46 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos_subj", "pred", "pos_obj", "draw")
 
 
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over a branching entity graph
+    (part -> supplier -> nation -> region; parts have many suppliers,
+    so the md5-keyed neighbor choice is actually exercised). walk_len=3
+    fixed steps = 6 equi-joins, frontier never grows."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.kgops import kg_random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    edges = (
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("subj"),
+            F.lit("supplied_by").alias("pred"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("obj"),
+        )
+        .dropDuplicates()
+        .unionByName(
+            supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("subj"),
+                F.lit("in_nation").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+                F.col("n_name").alias("subj"),
+                F.lit("in_region").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return kg_random_walks(
+        edges, walk_len=3, walks_per_node=1, seed=42
+    ).orderBy("start", "walk")
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: the sf documents are re-shaped
     into 10-token paragraphs (deterministic, mirrored in the oracle),
@@ -1657,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_diff": q_kg_diff,
         "q_kg_degree": q_kg_degree,
         "q_kg_negatives": q_kg_negatives,
+        "q_kg_walks": q_kg_walks,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3348,6 +3389,67 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN d ON n.neg_subj = d.subj AND n.pred = d.pred
                        AND n.neg_obj = d.obj
             WHERE d.subj IS NULL
+        """,
+        "q_kg_walks": f"""
+            WITH e AS (
+              SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS cur,
+                              's' || CAST(l_suppkey AS VARCHAR) AS nxt
+              FROM lineitem
+              UNION
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              UNION
+              SELECT n_name, r_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+            ), adj AS (
+              SELECT cur, nxt,
+                     row_number() OVER (PARTITION BY cur ORDER BY nxt) - 1
+                       AS idx
+              FROM e
+            ), deg AS (
+              SELECT cur, count(*) AS d FROM adj GROUP BY cur
+            ), f0 AS (
+              SELECT start, 0 AS walk, start AS cur, start AS path,
+                     0 AS n_steps
+              FROM (SELECT DISTINCT cur AS start FROM e)
+            )
+            , f1 AS (
+              SELECT f.start, f.walk,
+                     coalesce(a.nxt, f.cur) AS cur,
+                     CASE WHEN a.nxt IS NULL THEN f.path
+                          ELSE f.path || '->' || a.nxt END AS path,
+                     f.n_steps + CASE WHEN a.nxt IS NULL THEN 0 ELSE 1 END
+                       AS n_steps
+              FROM f0 f
+              LEFT JOIN deg ON deg.cur = f.cur
+              LEFT JOIN adj a ON a.cur = f.cur
+                AND a.idx = {_duck_h64("concat_ws(chr(1), f.start, CAST(f.walk AS VARCHAR), '1', f.cur, '42')")} % deg.d
+            )
+            , f2 AS (
+              SELECT f.start, f.walk,
+                     coalesce(a.nxt, f.cur) AS cur,
+                     CASE WHEN a.nxt IS NULL THEN f.path
+                          ELSE f.path || '->' || a.nxt END AS path,
+                     f.n_steps + CASE WHEN a.nxt IS NULL THEN 0 ELSE 1 END
+                       AS n_steps
+              FROM f1 f
+              LEFT JOIN deg ON deg.cur = f.cur
+              LEFT JOIN adj a ON a.cur = f.cur
+                AND a.idx = {_duck_h64("concat_ws(chr(1), f.start, CAST(f.walk AS VARCHAR), '2', f.cur, '42')")} % deg.d
+            )
+            , f3 AS (
+              SELECT f.start, f.walk,
+                     coalesce(a.nxt, f.cur) AS cur,
+                     CASE WHEN a.nxt IS NULL THEN f.path
+                          ELSE f.path || '->' || a.nxt END AS path,
+                     f.n_steps + CASE WHEN a.nxt IS NULL THEN 0 ELSE 1 END
+                       AS n_steps
+              FROM f2 f
+              LEFT JOIN deg ON deg.cur = f.cur
+              LEFT JOIN adj a ON a.cur = f.cur
+                AND a.idx = {_duck_h64("concat_ws(chr(1), f.start, CAST(f.walk AS VARCHAR), '3', f.cur, '42')")} % deg.d
+            )
+            SELECT start, walk, path, n_steps FROM f3
         """,
         "q_dedup_paragraphs": f"""
             WITH toks AS (

@@ -57,6 +57,7 @@ HEADLINE = [
     "q_kg_diff",
     "q_kg_degree",
     "q_kg_negatives",
+    "q_kg_walks",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

@@ -204,3 +204,82 @@ def kg_negative_samples(
         ["neg_subj", "pred", "neg_obj"],
         "left_anti",
     ).select("pos_subj", "pred", "pos_obj", "draw", "neg_subj", "neg_obj")
+
+
+def kg_random_walks(
+    triples: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform random walks over the directed triple
+    graph — the corpus generator for node-embedding training
+    (DeepWalk / node2vec feed exactly these walk sequences to a
+    skip-gram model). Walk w from node n chooses, at step t, the
+    out-neighbor whose dense rank (row_number over the node's sorted
+    neighbor list) equals md5-hash(n, w, t, cur, seed) mod out-degree.
+    A walk reaching a sink node stalls there (its path stops growing)
+    — the standard truncated-walk behavior. Fully deterministic:
+    identical walks across partitionings, re-runs, and engines.
+
+    Output: (start, walk, path, n_steps) with path the '->'-joined
+    node sequence (walk_len edges at most).
+
+    Scale: the adjacency index is ONE row_number window per source
+    node; each of the walk_len steps is two equi-joins (frontier ⋈
+    degree, frontier ⋈ adjacency on (node, idx)) — join keys are
+    nodes, so hub-heavy graphs inherit AQE skew splitting; the
+    frontier never grows (|nodes| x walks_per_node rows throughout).
+    walk_len is a fixed small constant, so the lineage stays
+    bounded — no iterative convergence loop, no checkpointing need."""
+    from pyspark.sql import Window
+
+    e = (
+        triples.select(F.col("subj").alias("cur"), F.col("obj").alias("nxt"))
+        .dropDuplicates()
+    )
+    adj = e.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("cur").orderBy("nxt")) - 1,
+    )
+    deg = adj.groupBy("cur").agg(F.count(F.lit(1)).alias("d"))
+    frontier = (
+        e.select(F.col("cur").alias("start"))
+        .dropDuplicates()
+        .select(
+            "start",
+            F.explode(
+                F.expr(f"sequence(0, {walks_per_node - 1})")
+            ).alias("walk"),
+        )
+        .select(
+            "start",
+            "walk",
+            F.col("start").alias("cur"),
+            F.col("start").alias("path"),
+            F.lit(0).alias("n_steps"),
+        )
+    )
+    for t in range(1, walk_len + 1):
+        h = (
+            f"cast(conv(substring(md5(concat_ws(chr(1), start, "
+            f"cast(walk AS string), '{t}', cur, '{seed}')), 1, 15), 16, 10) "
+            f"AS bigint)"
+        )
+        stepped = (
+            frontier.join(deg, "cur", "left")
+            .withColumn("idx", F.expr(f"cast({h} % d AS int)"))
+            .join(adj, ["cur", "idx"], "left")
+        )
+        frontier = stepped.select(
+            "start",
+            "walk",
+            F.coalesce("nxt", "cur").alias("cur"),
+            F.when(
+                F.col("nxt").isNull(), F.col("path")
+            ).otherwise(F.concat_ws("->", "path", "nxt")).alias("path"),
+            F.when(F.col("nxt").isNull(), F.col("n_steps"))
+            .otherwise(F.col("n_steps") + 1)
+            .alias("n_steps"),
+        )
+    return frontier.select("start", "walk", "path", "n_steps")

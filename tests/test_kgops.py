@@ -136,3 +136,66 @@ def test_kg_negative_samples_deterministic(spark):
     assert one == two and len(one) > 0
     other_seed = set(map(tuple, kg_negative_samples(df, k=2, seed=2).collect()))
     assert one != other_seed
+
+
+def _walk_oracle(edges, walk_len, walks_per_node, seed):
+    import hashlib
+
+    e = sorted(set(edges))
+    adj = {}
+    for s, o in e:
+        adj.setdefault(s, []).append(o)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    out = set()
+    for start in sorted({s for s, _ in e}):
+        for w in range(walks_per_node):
+            cur, path, steps = start, [start], 0
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    continue  # stalled: later steps also no-op
+                key = "\x01".join([start, str(w), str(t), cur, str(seed)])
+                h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                cur = nbrs[h % len(nbrs)]
+                path.append(cur)
+                steps += 1
+            out.add((start, w, "->".join(path), steps))
+    return out
+
+
+def test_kg_random_walks_vs_oracle(spark):
+    from cello_spark.operators.kgops import kg_random_walks
+
+    edges = (
+        [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)]     # cycle
+        + [(f"n{i}", f"n{(i + 3) % 8}") for i in range(8)]   # chords
+        + [("n0", "sink"), ("n4", "sink")]                   # sink node
+    )
+    df = spark.createDataFrame(
+        [(s, "r", o) for s, o in edges], "subj string, pred string, obj string"
+    )
+    got = {
+        (r.start, r.walk, r.path, r.n_steps)
+        for r in kg_random_walks(
+            df, walk_len=4, walks_per_node=2, seed=9
+        ).collect()
+    }
+    want = _walk_oracle(edges, walk_len=4, walks_per_node=2, seed=9)
+    assert got == want
+    # structure: every hop in every path is a real edge
+    eset = set(edges)
+    for _, _, path, n_steps in got:
+        nodes = path.split("->")
+        assert len(nodes) == n_steps + 1
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in eset
+
+
+def test_kg_random_walks_deterministic_across_partitioning(spark):
+    from cello_spark.operators.kgops import kg_random_walks
+
+    rows = [(f"a{i}", "r", f"a{(i * 5 + 2) % 23}") for i in range(23)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    one = set(map(tuple, kg_random_walks(df, walk_len=3).collect()))
+    two = set(map(tuple, kg_random_walks(df.repartition(11), walk_len=3).collect()))
+    assert one == two and len(one) == 23
