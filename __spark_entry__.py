@@ -1595,6 +1595,81 @@ def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("start", "walk")
 
 
+def q_kg_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL property-chain inference over the entity KG: the rules
+    in_nation ∘ in_region → in_region and supplies_in ∘ in_region →
+    in_region derive region membership for customers and suppliers
+    (one-round fixpoint on this graph; multi-round convergence is
+    pytest-covered on deeper graphs)."""
+    from cello_spark.operators.kgops import infer_property_chains
+
+    return infer_property_chains(
+        _entity_triples(spark, sf_dir),
+        chains=[
+            ("in_nation", "in_region", "in_region"),
+            ("supplies_in", "in_region", "in_region"),
+        ],
+    ).orderBy("subj", "pred", "obj")
+
+
+def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation of the entity KG with deterministic
+    violations injected (mirrored in the oracle): md5-selected
+    customers gain a second in_nation edge pointing at a REGION
+    (range + functional violations), and one region node gains an
+    in_nation edge (domain violation). Constraint table broadcast;
+    violations found by anti-joins + one count-distinct aggregate."""
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.kgops import validate_kg
+
+    t = _entity_triples(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    ck = F.conv(F.substring(F.md5("subj"), 1, 15), 16, 10).cast("bigint")
+    bad_range = (
+        t.where((F.col("pred") == "in_nation") & (ck % 13 == 0))
+        .select("subj", "pred", F.lit("EUROPE").alias("obj"))
+    )
+    bad_domain = nat.agg(F.min("n_name").alias("obj")).select(
+        F.lit("EUROPE").alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        "obj",
+    )
+    triples = t.unionByName(bad_range).unionByName(bad_domain)
+    types = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
+            F.lit("customer").alias("type"),
+        )
+        .unionByName(
+            supp.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+                F.lit("supplier").alias("type"),
+            )
+        )
+        .unionByName(
+            nat.select(F.col("n_name").alias("node"), F.lit("nation").alias("type"))
+        )
+        .unionByName(
+            reg.select(F.col("r_name").alias("node"), F.lit("region").alias("type"))
+        )
+    )
+    constraints = spark.createDataFrame(
+        [
+            ("in_nation", "customer", "nation"),
+            ("supplies_in", "supplier", "nation"),
+            ("in_region", "nation", "region"),
+        ],
+        "pred string, domain_type string, range_type string",
+    )
+    return validate_kg(
+        triples, types, constraints, functional_preds=("in_nation",)
+    ).orderBy("violation", "subj", "pred")
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: the sf documents are re-shaped
     into 10-token paragraphs (deterministic, mirrored in the oracle),
@@ -1698,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_degree": q_kg_degree,
         "q_kg_negatives": q_kg_negatives,
         "q_kg_walks": q_kg_walks,
+        "q_kg_chains": q_kg_chains,
+        "q_kg_validate": q_kg_validate,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3450,6 +3527,99 @@ def oracle_sql() -> dict[str, str]:
                 AND a.idx = {_duck_h64("concat_ws(chr(1), f.start, CAST(f.walk AS VARCHAR), '3', f.cur, '42')")} % deg.d
             )
             SELECT start, walk, path, n_steps FROM f3
+        """,
+        "q_kg_chains": """
+            WITH t AS (
+              SELECT n_name AS subj, 'in_region' AS pred, r_name AS obj
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              UNION ALL
+              SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation', n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplies_in', n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), d AS (
+              SELECT DISTINCT subj, pred, obj FROM t
+            ), der AS (
+              -- one-round fixpoint on this graph: derived in_region
+              -- triples cannot re-feed either rule (their subjects
+              -- never appear as rule-left objects)
+              SELECT a.subj, 'in_region' AS pred, b.obj
+              FROM d a JOIN d b ON a.obj = b.subj
+              WHERE a.pred = 'in_nation' AND b.pred = 'in_region'
+              UNION
+              SELECT a.subj, 'in_region', b.obj
+              FROM d a JOIN d b ON a.obj = b.subj
+              WHERE a.pred = 'supplies_in' AND b.pred = 'in_region'
+            )
+            SELECT subj, pred, obj FROM d
+            UNION
+            SELECT subj, pred, obj FROM der
+        """,
+        "q_kg_validate": f"""
+            WITH t0 AS (
+              SELECT n_name AS subj, 'in_region' AS pred, r_name AS obj
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              UNION ALL
+              SELECT 'c' || CAST(c_custkey AS VARCHAR), 'in_nation', n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplies_in', n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), bad_range AS (
+              SELECT subj, pred, 'EUROPE' AS obj FROM t0
+              WHERE pred = 'in_nation' AND {_duck_h64("subj")} % 13 = 0
+            ), bad_domain AS (
+              SELECT 'EUROPE' AS subj, 'in_nation' AS pred,
+                     min(n_name) AS obj
+              FROM nation
+            ), trip AS (
+              SELECT DISTINCT subj, pred, obj FROM (
+                SELECT * FROM t0
+                UNION ALL SELECT * FROM bad_range
+                UNION ALL SELECT * FROM bad_domain
+              )
+            ), types AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+                     'customer' AS type FROM customer
+              UNION ALL
+              SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supplier'
+              FROM supplier
+              UNION ALL SELECT n_name, 'nation' FROM nation
+              UNION ALL SELECT r_name, 'region' FROM region
+            ), cons AS (
+              SELECT * FROM (VALUES
+                ('in_nation', 'customer', 'nation'),
+                ('supplies_in', 'supplier', 'nation'),
+                ('in_region', 'nation', 'region')
+              ) AS v(pred, domain_type, range_type)
+            ), wc AS (
+              SELECT tr.subj, tr.pred, tr.obj, c.domain_type, c.range_type
+              FROM trip tr JOIN cons c USING (pred)
+            ), dom AS (
+              SELECT 'domain' AS violation, subj, pred, obj,
+                     domain_type AS detail
+              FROM wc
+              WHERE domain_type IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM types ty
+                WHERE ty.node = wc.subj AND ty.type = wc.domain_type)
+            ), rng AS (
+              SELECT 'range' AS violation, subj, pred, obj,
+                     range_type AS detail
+              FROM wc
+              WHERE range_type IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM types ty
+                WHERE ty.node = wc.obj AND ty.type = wc.range_type)
+            ), func AS (
+              SELECT 'functional' AS violation, subj, pred,
+                     CAST(NULL AS VARCHAR) AS obj,
+                     CAST(count(DISTINCT obj) AS VARCHAR) AS detail
+              FROM trip WHERE pred = 'in_nation'
+              GROUP BY subj, pred HAVING count(DISTINCT obj) > 1
+            )
+            SELECT * FROM dom
+            UNION ALL SELECT * FROM rng
+            UNION ALL SELECT * FROM func
         """,
         "q_dedup_paragraphs": f"""
             WITH toks AS (

@@ -58,6 +58,8 @@ HEADLINE = [
     "q_kg_degree",
     "q_kg_negatives",
     "q_kg_walks",
+    "q_kg_chains",
+    "q_kg_validate",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

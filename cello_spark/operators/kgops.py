@@ -283,3 +283,147 @@ def kg_random_walks(
             .alias("n_steps"),
         )
     return frontier.select("start", "walk", "path", "n_steps")
+
+
+def infer_property_chains(
+    triples: DataFrame,
+    chains: list[tuple[str, str, str]],
+    max_iter: int = 32,
+) -> DataFrame:
+    """OWL-RL-style property-chain inference to fixpoint: each chain
+    (r1, r2, out) derives out(x, z) from r1(x, y) ∧ r2(y, z) — e.g.
+    the ontology up-propagation part_of ∘ is_a → part_of that the
+    reference's anatomical filtering relies on (cello/cello.py:707-733
+    walks inv_is_a/inv_part_of together; here the same reasoning is a
+    declarative rule set). Returns base ∪ derived, distinct.
+
+    Semi-naive like operators/graph.transitive_closure: each round
+    joins only the previous round's NEW triples against the full set
+    (both orders), so total work is O(|fixpoint|), with localCheckpoint
+    lineage cuts per round. Purely-transitive single-relation chains
+    (r, r, r) are better served by transitive_closure's specialized
+    loop; this operator is for heterogeneous rule sets. Fails loudly
+    if max_iter rounds don't reach the fixpoint — silent truncation
+    would poison downstream consumers."""
+    from functools import reduce
+
+    from cello_spark.operators.graph import _checkpoint, _dedup_checkpoint
+
+    t = _checkpoint(triples.select(*_KEY).dropDuplicates())
+    all_t = t
+    delta = t
+    for _ in range(max_iter):
+        news = []
+        for r1, r2, out in chains:
+            for left, right in (
+                (delta.filter(F.col("pred") == r1),
+                 all_t.filter(F.col("pred") == r2)),
+                (all_t.filter(F.col("pred") == r1),
+                 delta.filter(F.col("pred") == r2)),
+            ):
+                news.append(
+                    left.alias("l")
+                    .join(
+                        right.alias("r"),
+                        F.col("l.obj") == F.col("r.subj"),
+                    )
+                    .select(
+                        F.col("l.subj").alias("subj"),
+                        F.lit(out).alias("pred"),
+                        F.col("r.obj").alias("obj"),
+                    )
+                )
+        grown = reduce(lambda a, b: a.unionByName(b), news)
+        delta = _dedup_checkpoint(grown.join(all_t, _KEY, "left_anti"))
+        if delta.isEmpty():
+            break
+        all_t = _dedup_checkpoint(all_t.unionByName(delta))
+    else:
+        raise RuntimeError(
+            f"infer_property_chains: fixpoint not reached in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    return all_t
+
+
+def validate_kg(
+    triples: DataFrame,
+    node_types: DataFrame,
+    constraints: DataFrame,
+    functional_preds: tuple[str, ...] = (),
+) -> DataFrame:
+    """SHACL-lite validation — the QA gate a KG snapshot passes before
+    promotion. Three constraint kinds:
+
+    - domain: subj of pred must carry the constraint's domain_type in
+      `node_types` (node, type);
+    - range: obj must carry range_type;
+    - functional: a pred in functional_preds allows at most one
+      distinct obj per subj.
+
+    constraints: (pred, domain_type, range_type), NULL = unconstrained
+    side. Emits (violation, subj, pred, obj, detail) — one row per
+    violating triple ('domain'/'range', detail = expected type) or per
+    violating subject ('functional', obj = NULL, detail = obj count).
+
+    Scale: the constraint table is schema-sized → broadcast; type
+    checks are anti-joins of the triple table against (node, type) —
+    shuffle on node only; the functional check is one combinable
+    count-distinct aggregate. Violations stream out without ever
+    materializing the compliant majority."""
+    t = triples.select(*_KEY).dropDuplicates()
+    c = F.broadcast(constraints.select("pred", "domain_type", "range_type"))
+    with_c = t.join(c, "pred")
+    dom_viol = (
+        with_c.filter(F.col("domain_type").isNotNull())
+        .join(
+            node_types.select(
+                F.col("node").alias("subj"),
+                F.col("type").alias("domain_type"),
+            ),
+            ["subj", "domain_type"],
+            "left_anti",
+        )
+        .select(
+            F.lit("domain").alias("violation"),
+            "subj",
+            "pred",
+            "obj",
+            F.col("domain_type").alias("detail"),
+        )
+    )
+    rng_viol = (
+        with_c.filter(F.col("range_type").isNotNull())
+        .join(
+            node_types.select(
+                F.col("node").alias("obj"),
+                F.col("type").alias("range_type"),
+            ),
+            ["obj", "range_type"],
+            "left_anti",
+        )
+        .select(
+            F.lit("range").alias("violation"),
+            "subj",
+            "pred",
+            "obj",
+            F.col("range_type").alias("detail"),
+        )
+    )
+    out = dom_viol.unionByName(rng_viol)
+    if functional_preds:
+        func_viol = (
+            t.filter(F.col("pred").isin(list(functional_preds)))
+            .groupBy("subj", "pred")
+            .agg(F.countDistinct("obj").alias("n_objs"))
+            .filter(F.col("n_objs") > 1)
+            .select(
+                F.lit("functional").alias("violation"),
+                "subj",
+                "pred",
+                F.lit(None).cast("string").alias("obj"),
+                F.col("n_objs").cast("string").alias("detail"),
+            )
+        )
+        out = out.unionByName(func_viol)
+    return out

@@ -199,3 +199,104 @@ def test_kg_random_walks_deterministic_across_partitioning(spark):
     one = set(map(tuple, kg_random_walks(df, walk_len=3).collect()))
     two = set(map(tuple, kg_random_walks(df.repartition(11), walk_len=3).collect()))
     assert one == two and len(one) == 23
+
+
+def _chains_oracle(triples, chains, max_iter=50):
+    allt = set(triples)
+    for _ in range(max_iter):
+        new = set()
+        for r1, r2, out in chains:
+            lefts = [(s, o) for s, p, o in allt if p == r1]
+            rights = {}
+            for s, p, o in allt:
+                if p == r2:
+                    rights.setdefault(s, []).append(o)
+            for s, y in lefts:
+                for z in rights.get(y, []):
+                    cand = (s, out, z)
+                    if cand not in allt:
+                        new.add(cand)
+        if not new:
+            return allt
+        allt |= new
+    raise AssertionError("oracle did not converge")
+
+
+def test_infer_property_chains_vs_oracle(spark):
+    from cello_spark.operators.kgops import infer_property_chains
+
+    # a part_of chain up an is_a tower: part_of o is_a -> part_of
+    rows = (
+        [("organelle", "part_of", "cell1")]
+        + [(f"cell{i}", "is_a", f"cell{i+1}") for i in range(1, 5)]
+        + [("cellA", "is_a", "cell3")]
+    )
+    chains = [("part_of", "is_a", "part_of")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in infer_property_chains(df, chains).collect()
+    }
+    want = _chains_oracle(rows, chains)
+    assert got == want
+    # the derived up-propagation reached the tower top
+    assert ("organelle", "part_of", "cell5") in got
+    # is_a itself was not closed transitively (not in the rule set)
+    assert ("cell1", "is_a", "cell3") not in got
+
+
+def test_infer_property_chains_two_rules(spark):
+    from cello_spark.operators.kgops import infer_property_chains
+
+    rows = [
+        ("a", "located_in", "b"),
+        ("b", "part_of", "c"),
+        ("c", "part_of", "d"),
+    ]
+    chains = [
+        ("located_in", "part_of", "located_in"),
+        ("part_of", "part_of", "part_of"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in infer_property_chains(df, chains).collect()
+    }
+    assert got == _chains_oracle(rows, chains)
+    assert ("a", "located_in", "d") in got and ("b", "part_of", "d") in got
+
+
+def test_validate_kg_all_three_kinds(spark):
+    from cello_spark.operators.kgops import validate_kg
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", "in_nation", "n1"),
+            ("c1", "in_nation", "n2"),   # functional violation (2 objs)
+            ("c2", "in_nation", "r1"),   # range violation (r1 not a nation)
+            ("n1", "in_nation", "n2"),   # domain violation (n1 not a customer)
+            ("c3", "in_nation", "n1"),   # clean
+            ("x", "unconstrained", "y"),  # no constraint row -> ignored
+        ],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("c1", "customer"), ("c2", "customer"), ("c3", "customer"),
+         ("n1", "nation"), ("n2", "nation"), ("r1", "region")],
+        "node string, type string",
+    )
+    constraints = spark.createDataFrame(
+        [("in_nation", "customer", "nation")],
+        "pred string, domain_type string, range_type string",
+    )
+    got = {
+        (r.violation, r.subj, r.pred, r.obj, r.detail)
+        for r in validate_kg(
+            triples, types, constraints, functional_preds=("in_nation",)
+        ).collect()
+    }
+    assert got == {
+        ("range", "c2", "in_nation", "r1", "nation"),
+        ("domain", "n1", "in_nation", "n2", "customer"),
+        ("functional", "c1", "in_nation", None, "2"),
+    }
