@@ -3289,22 +3289,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pii_scrub": _pii_oracle_sql(),
         "q_cross_dedup": f"""
-            WITH toks AS (
-              SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
-                          ELSE array_to_string(t, ' ') END AS shingle
-              FROM toks, LATERAL (
-                SELECT unnest(range(1, greatest(len(t) - 1, CASE WHEN len(t) > 0 THEN 2 ELSE 1 END))) AS i
-              )
-              WHERE len(t) > 0
-            ), capped AS (
-              -- cap over the union of both sides = all documents
-              -- (the parity split partitions the corpus)
-              SELECT doc_id, shingle FROM sh
-              QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
-            ), l AS (
+            {_duck_shingles(1000)}
+            -- the cap above runs over the union of both sides = all
+            -- documents (the parity split partitions the corpus)
+            , l AS (
               SELECT * FROM capped WHERE doc_id % 2 = 1
             ), r AS (
               SELECT * FROM capped WHERE doc_id % 2 = 0

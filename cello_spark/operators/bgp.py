@@ -83,8 +83,6 @@ def match_bgp(
             # keep previous bindings iff any matching triple exists
             t = t.limit(1).select(F.lit(1).alias("__exists"))
             out = (t if out is None else out.crossJoin(t)).drop("__exists")
-            if not bound:
-                bound = []
             continue
         t = t.select(*[F.col(c).alias(v) for v, c in
                        sorted(names.items(), key=lambda kv: _POS_COLS.index(kv[1]))])
@@ -103,4 +101,8 @@ def match_bgp(
             out = out.crossJoin(t)
         bound += [v for v in t.columns if v not in bound]
     assert out is not None
+    if bound:
+        # join(on=shared) moves join keys first — restore the
+        # documented first-appearance column order
+        out = out.select(*bound)
     return out.dropDuplicates() if distinct else out

@@ -155,6 +155,46 @@ def shingle_df_stats(
 # ---------------------------------------------------------------------------
 
 
+def _jaccard_tail(pairs: DataFrame, shl: DataFrame, shr: DataFrame,
+                  threshold: float) -> DataFrame:
+    """(a, b, jaccard) from (a, b, common) counts plus the capped
+    shingle tables each side's set sizes come from. shl/shr may be the
+    SAME DataFrame (the self-join family) or two corpora (the cross
+    family) — shared so the two variants cannot diverge."""
+    sizes_l = (
+        shl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
+        .withColumnRenamed("doc_id", "a")
+    )
+    sizes_r = (
+        shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b"))
+        .withColumnRenamed("doc_id", "b")
+    )
+    return (
+        pairs.join(sizes_l, "a")
+        .join(sizes_r, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _jaccard_from_candidates(cands: DataFrame, shl: DataFrame,
+                             shr: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard restricted to an explicit candidate-pair set
+    (a, b): common-shingle counts only for candidates, then the
+    shared size/ratio tail."""
+    common = (
+        cands.join(shl.withColumnRenamed("doc_id", "a"), "a")
+        .join(shr.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _jaccard_tail(common, shl, shr, threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -174,7 +214,6 @@ def ngram_jaccard_pairs(
     sh = _cap_common_shingles(
         shingles(df, id_col, text_col, n), max_shingle_df, op="ngram_jaccard_pairs"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # probe side spread across task slots: pair enumeration explodes
     # |bucket|² rows, which must not run in one coalesced partition
     pairs = (
@@ -186,16 +225,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    return _jaccard_tail(pairs, sh, sh, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +295,67 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    sig: DataFrame, bands: int, rows_per_band: int, hash_strategy: str
+) -> DataFrame:
+    """(doc_id, band, band_hash): LSH band keys from a signature table
+    — one posexplode, band keys are uniformly-distributed hashes
+    (immune to content skew). Shared by the self-join and cross-corpus
+    variants so their bucketing cannot diverge."""
+    band_fn = (
+        "xxhash64(%s)"
+        if hash_strategy == "xxhash64"
+        else portable_hash64_sql("%s")
+    )
+    band_key = band_fn % (
+        f"array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')"
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {bands - 1}), b -> {band_key})")
+        ).alias("band", "band_hash"),
+    )
+
+
+def _estimate_prefilter(
+    cands: DataFrame,
+    sig_l: DataFrame,
+    sig_r: DataFrame,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """Signature-estimate prefilter before exact verification:
+    est(J) = fraction of agreeing minhash components, computed
+    pair-local from the two signatures (JVM zip_with, no extra
+    shuffle). Low-threshold configs (wide bands) otherwise admit
+    nearly all pairs as candidates and the exact-verify join fans out
+    |cands| x |shingles per doc| rows. An unbiased estimator with
+    k=num_hashes components has std ~sqrt(J(1-J)/k); the margin keeps
+    the prefilter recall-safe."""
+    margin = 3.0 * (0.25 / num_hashes) ** 0.5
+    return (
+        cands.join(
+            sig_l.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a"
+        )
+        .join(
+            sig_r.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b"
+        )
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_j") >= threshold - margin)
+        .select("a", "b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -294,20 +385,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         sh, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
     )
-    band_fn = (
-        "xxhash64(%s)"
-        if hash_strategy == "xxhash64"
-        else portable_hash64_sql("%s")
-    )
-    band_key = band_fn % (
-        f"array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')"
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {bands - 1}), b -> {band_key})")
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded_signatures(sig, bands, rows_per_band, hash_strategy)
     cands = (
         ensure_min_partitions(banded).alias("l")
         .join(banded.alias("r"), ["band", "band_hash"])
@@ -317,49 +395,9 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    # signature-estimate prefilter: est(J) = fraction of agreeing
-    # minhash components, computed pair-local from the two signatures
-    # (JVM zip_with, no extra shuffle). Low-threshold configs (wide
-    # bands) otherwise admit nearly all pairs as candidates and the
-    # exact-verify join fans out |cands| x |shingles per doc| rows.
-    # An unbiased estimator with k=num_hashes components has std
-    # ~sqrt(J(1-J)/k); the margin keeps the prefilter recall-safe.
-    margin = 3.0 * (0.25 / num_hashes) ** 0.5
-    est = (
-        cands.join(sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
-        .join(sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
-        .withColumn(
-            "est_j",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda v: v,
-                )
-            )
-            / F.lit(float(num_hashes)),
-        )
-        .filter(F.col("est_j") >= threshold - margin)
-        .select("a", "b")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    est = _estimate_prefilter(cands, sig, sig, threshold, num_hashes)
     # exact-Jaccard verification of surviving candidates only
-    common = (
-        est.join(sh.withColumnRenamed("doc_id", "a"), "a")
-        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    out = (
-        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-    return out
+    return _jaccard_from_candidates(est, sh, sh, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -494,24 +532,13 @@ def jaccard_pairs_cross(
     shl, shr = _cross_capped_shingles(
         left, right, n, id_col, text_col, max_shingle_df, "jaccard_pairs_cross"
     )
-    sizes_l = shl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
-    sizes_r = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b"))
     pairs = (
         ensure_min_partitions(shl).alias("l")
         .join(shr.alias("r"), "shingle")
         .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
-        pairs.join(sizes_l.withColumnRenamed("doc_id", "a"), "a")
-        .join(sizes_r.withColumnRenamed("doc_id", "b"), "b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    return _jaccard_tail(pairs, shl, shr, threshold)
 
 
 def minhash_lsh_pairs_cross(
@@ -551,70 +578,22 @@ def minhash_lsh_pairs_cross(
     sig_r = minhash_signatures(
         shr, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
     )
-    band_fn = (
-        "xxhash64(%s)"
-        if hash_strategy == "xxhash64"
-        else portable_hash64_sql("%s")
-    )
-    band_key = band_fn % (
-        f"array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')"
-    )
-
-    def _banded(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(f"transform(sequence(0, {bands - 1}), b -> {band_key})")
-            ).alias("band", "band_hash"),
-        )
-
     cands = (
-        ensure_min_partitions(_banded(sig_l)).alias("l")
-        .join(_banded(sig_r).alias("r"), ["band", "band_hash"])
+        ensure_min_partitions(
+            _banded_signatures(sig_l, bands, rows_per_band, hash_strategy)
+        ).alias("l")
+        .join(
+            _banded_signatures(sig_r, bands, rows_per_band, hash_strategy)
+            .alias("r"),
+            ["band", "band_hash"],
+        )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .dropDuplicates()
     )
     if not verify:
         return cands
-    margin = 3.0 * (0.25 / num_hashes) ** 0.5
-    est = (
-        cands.join(
-            sig_l.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a"
-        )
-        .join(
-            sig_r.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b"
-        )
-        .withColumn(
-            "est_j",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda v: v,
-                )
-            )
-            / F.lit(float(num_hashes)),
-        )
-        .filter(F.col("est_j") >= threshold - margin)
-        .select("a", "b")
-    )
-    sizes_l = shl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_a"))
-    sizes_r = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b"))
-    common = (
-        est.join(shl.withColumnRenamed("doc_id", "a"), "a")
-        .join(shr.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(sizes_l.withColumnRenamed("doc_id", "a"), "a")
-        .join(sizes_r.withColumnRenamed("doc_id", "b"), "b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    est = _estimate_prefilter(cands, sig_l, sig_r, threshold, num_hashes)
+    return _jaccard_from_candidates(est, shl, shr, threshold)
 
 # ---------------------------------------------------------------------------
 # Span-level exact dedup (C4-style duplicate-paragraph removal)

@@ -139,6 +139,10 @@ def kg_negative_samples(
     broadcast of unbounded domains."""
     if corrupt not in ("obj", "subj"):
         raise ValueError(f"corrupt must be 'obj' or 'subj', got {corrupt!r}")
+    if k < 1:
+        # sequence(0, k-1) descends for k <= 0, silently emitting
+        # draws 0 and -1 — reject instead
+        raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
     t = triples.select("subj", "pred", "obj").dropDuplicates()
@@ -232,6 +236,12 @@ def kg_random_walks(
     frontier never grows (|nodes| x walks_per_node rows throughout).
     walk_len is a fixed small constant, so the lineage stays
     bounded — no iterative convergence loop, no checkpointing need."""
+    if walk_len < 1 or walks_per_node < 1:
+        # sequence(0, n-1) descends for n <= 0 (emitting walk=-1 rows)
+        raise ValueError(
+            f"need walk_len >= 1 and walks_per_node >= 1, got "
+            f"{walk_len}/{walks_per_node}"
+        )
     from pyspark.sql import Window
 
     e = (
@@ -312,15 +322,22 @@ def infer_property_chains(
     t = _checkpoint(triples.select(*_KEY).dropDuplicates())
     all_t = t
     delta = t
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         news = []
         for r1, r2, out in chains:
-            for left, right in (
+            # round 0 has delta == all_t, so the two join orders are
+            # identical — run one and skip the duplicate (round 0 is
+            # the largest round; this halves its join/shuffle work)
+            sides = (
                 (delta.filter(F.col("pred") == r1),
                  all_t.filter(F.col("pred") == r2)),
-                (all_t.filter(F.col("pred") == r1),
-                 delta.filter(F.col("pred") == r2)),
-            ):
+            )
+            if rnd > 0:
+                sides += (
+                    (all_t.filter(F.col("pred") == r1),
+                     delta.filter(F.col("pred") == r2)),
+                )
+            for left, right in sides:
                 news.append(
                     left.alias("l")
                     .join(

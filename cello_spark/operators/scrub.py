@@ -53,6 +53,16 @@ def _count_cols(text_col: str, rules) -> list:
     ]
 
 
+def _total_col(text_col: str, rules):
+    """Sum of the per-rule count expressions, aliased n_pii — shared
+    by pii_signals and pii_redact so the columns cannot diverge."""
+    total = None
+    for _, pat, _tok in rules:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        total = c if total is None else total + c
+    return total.alias("n_pii")
+
+
 def pii_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -62,12 +72,9 @@ def pii_signals(
     """(id, n_<rule>..., n_pii): per-document PII match counts, one
     per rule plus the total. Pure per-row expressions, no shuffle."""
     counts = _count_cols(text_col, rules)
-    out = docs.select(F.col(id_col).alias(id_col), *counts)
-    total = None
-    for name, _, _ in rules:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
-    return out.withColumn("n_pii", total)
+    return docs.select(
+        F.col(id_col).alias(id_col), *counts, _total_col(text_col, rules)
+    )
 
 
 def pii_redact(
@@ -82,13 +89,9 @@ def pii_redact(
     red = F.col(text_col)
     for _, pat, token in rules:
         red = F.regexp_replace(red, pat, token)
-    counts = _count_cols(text_col, rules)
-    total = None
-    for name, _, _ in rules:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
     return docs.select(
-        F.col(id_col).alias(id_col), *counts, red.alias("redacted")
-    ).withColumn("n_pii", total).select(
-        id_col, *[f"n_{name}" for name, _, _ in rules], "n_pii", "redacted"
+        F.col(id_col).alias(id_col),
+        *_count_cols(text_col, rules),
+        _total_col(text_col, rules),
+        red.alias("redacted"),
     )

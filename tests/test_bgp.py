@@ -124,3 +124,15 @@ def test_errors(spark, triples_df):
         match_bgp(triples_df, [("?x", "in_nation")])
     with pytest.raises(ValueError):
         match_bgp(triples_df, [("?", "in_nation", "?x")])
+
+
+def test_output_column_order_is_first_appearance(spark, triples_df):
+    df = match_bgp(
+        triples_df,
+        [
+            ("?c", "in_nation", "?n"),
+            ("?s", "supplies_in", "?n"),
+            ("?n", "in_region", "europe"),
+        ],
+    )
+    assert df.columns == ["c", "n", "s"]

@@ -300,3 +300,20 @@ def test_validate_kg_all_three_kinds(spark):
         ("domain", "n1", "in_nation", "n2", "customer"),
         ("functional", "c1", "in_nation", None, "2"),
     }
+
+
+def test_guards_reject_nonpositive_counts(spark):
+    from cello_spark.operators.kgops import (
+        kg_negative_samples,
+        kg_random_walks,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "r", "b")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError):
+        kg_negative_samples(df, k=0)
+    with pytest.raises(ValueError):
+        kg_random_walks(df, walks_per_node=0)
+    with pytest.raises(ValueError):
+        kg_random_walks(df, walk_len=0)
