@@ -232,3 +232,71 @@ def select_threshold_source(
         if common >= best_common:  # >= : ties keep the LAST candidate
             best_name, best_thr, best_common = name, thr, common
     return best_name, best_thr
+
+
+# ---------------------------------------------------------------------------
+# S14 model bundle: everything predict needs, in one directory
+# ---------------------------------------------------------------------------
+
+#: bundle layout — the engine's analog of the reference's pickled
+#: model object (cello/models/model.py + the gene list cello.py keeps
+#: alongside): weights.parquet (label, coef, intercept, is_trivial),
+#: thresholds.parquet (label, threshold[, precision]), genes.json
+#: (model feature order), edges.json ([[child, parent], ...] label
+#: hierarchy), meta.json ({"reconcile_mode": ...}).
+
+
+def save_model_bundle(
+    path: str,
+    weights_pdf,
+    thresholds_pdf,
+    genes: list[str],
+    label_edges: list[tuple[str, str]],
+    reconcile_mode: str = "dykstra",
+) -> None:
+    """Write the predict-ready model bundle directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(weights_pdf, preserve_index=False),
+        os.path.join(path, "weights.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(thresholds_pdf, preserve_index=False),
+        os.path.join(path, "thresholds.parquet"),
+    )
+    with open(os.path.join(path, "genes.json"), "w") as f:
+        json.dump(list(genes), f)
+    with open(os.path.join(path, "edges.json"), "w") as f:
+        json.dump([[c, p] for c, p in label_edges], f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"reconcile_mode": reconcile_mode}, f)
+
+
+def load_model_bundle(path: str):
+    """Load a model bundle → (LinkingModel, genes). The bundle is
+    driver-side KB-scale state; the LinkingModel broadcasts from the
+    driver exactly like a freshly-fitted one."""
+    import pyarrow.parquet as pq
+
+    from cello_spark.operators.linking import LinkingModel
+
+    weights = pq.read_table(os.path.join(path, "weights.parquet")).to_pandas()
+    thresholds = pq.read_table(
+        os.path.join(path, "thresholds.parquet")
+    ).to_pandas()
+    with open(os.path.join(path, "genes.json")) as f:
+        genes = json.load(f)
+    with open(os.path.join(path, "edges.json")) as f:
+        edges = [tuple(e) for e in json.load(f)]
+    meta_path = os.path.join(path, "meta.json")
+    reconcile = "dykstra"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            reconcile = json.load(f).get("reconcile_mode", "dykstra")
+    model = LinkingModel.from_tables(
+        weights, thresholds, edges, reconcile_mode=reconcile
+    )
+    return model, genes

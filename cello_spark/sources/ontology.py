@@ -348,3 +348,42 @@ def alias_dictionary(terms: DataFrame) -> DataFrame:
         .filter(F.col("alias_norm").isNotNull() & (F.col("alias_norm") != ""))
         .dropDuplicates()
     )
+
+
+def ontology_from_obo(
+    text: str, labels: list[str] | None = None, include_obsolete: bool = True
+):
+    """Production adapter: OBO text → the driver-side `Ontology`
+    bundle `plans/kg.build_kg_pipeline` consumes (the same shape
+    `sources/fixtures.make_ontology` builds synthetically; reference
+    flow: onto_lib_py3/load_ontology.py parses the OBO the config
+    names, then cello.py consumes the graph object).
+
+    `labels` (terms with training data) defaults to every non-obsolete
+    term in the file; pass the model's label list when one exists.
+    Edges whose parent is not defined in the file are dropped —
+    matching the multi-OBO merge's dangling-edge rule."""
+    import pandas as pd
+
+    from cello_spark.sources.fixtures import Ontology
+
+    term_rows, edge_rows = parse_obo_text(text, include_obsolete)
+    terms = pd.DataFrame(
+        term_rows,
+        columns=[
+            "term_id", "name", "definition", "synonyms", "xrefs",
+            "is_obsolete",
+        ],
+    )
+    ids = set(terms.term_id)
+    edges = pd.DataFrame(edge_rows, columns=["src", "dst", "rel"])
+    if len(edges):
+        edges = edges[
+            edges.src.isin(ids) & edges.dst.isin(ids)
+        ].drop_duplicates()
+    patch = edges.iloc[0:0].copy()
+    if labels is None:
+        labels = sorted(terms[~terms.is_obsolete].term_id)
+    return Ontology(
+        terms=terms, edges=edges, patch_edges=patch, labels=list(labels)
+    )

@@ -1,0 +1,150 @@
+"""CLI surface tests: `python -m cello_spark predict` / `kg` driven
+through main(argv) against fixture-built bundles, outputs compared to
+the direct library calls."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cello_spark.__main__ import main
+from cello_spark.sources.bundles import load_model_bundle, save_model_bundle
+
+
+GENES = [f"g{i:03d}" for i in range(64)]
+
+
+@pytest.fixture(scope="module")
+def bundle_dir(tmp_path_factory, onto):
+    from cello_spark.sources.fixtures import make_model_weights, make_thresholds
+
+    path = str(tmp_path_factory.mktemp("bundle") / "model")
+    weights = make_model_weights(onto)
+    thresholds = make_thresholds(onto)
+    label_set = set(weights.label)
+    edges = [
+        (c, p)
+        for c, p, r in onto.edges[["src", "dst", "rel"]].itertuples(index=False)
+        if r == "is_a" and c in label_set and p in label_set
+    ]
+    save_model_bundle(path, weights, thresholds, GENES, edges)
+    return path
+
+
+def test_bundle_roundtrip(bundle_dir, onto):
+    model, genes = load_model_bundle(bundle_dir)
+    assert genes == GENES
+    assert model.reconcile_mode == "dykstra"
+    assert len(model.labels) == len(set(model.labels))
+    assert model.W.shape == (len(model.labels), len(GENES))
+
+
+def test_cli_predict_matches_library(spark, tmp_path, bundle_dir, onto):
+    from cello_spark.plans.predict import predict_expression
+    from cello_spark.sources.fixtures import make_documents
+
+    _, feats_pdf, _ = make_documents(onto, n_docs=20)
+    # write a wide CSV (rows = samples, cols = genes) carrying the
+    # fixture feature vectors; LOG1_TPM passthrough keeps values exact
+    csv_path = str(tmp_path / "expr.csv")
+    with open(csv_path, "w") as f:
+        f.write("sample," + ",".join(GENES) + "\n")
+        for r in feats_pdf.itertuples(index=False):
+            f.write(
+                str(r.doc_id) + "," + ",".join(repr(v) for v in r.features) + "\n"
+            )
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        [
+            "predict",
+            "--data", csv_path,
+            "--format", "csv",
+            "--units", "LOG1_TPM",
+            "--model", bundle_dir,
+            "--output", out_dir,
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    got_prob = (
+        spark.read.parquet(f"{out_dir}/probability")
+        .toPandas()
+        .sort_values(["doc_id", "label"])
+        .reset_index(drop=True)
+    )
+    # reference result via the direct library path
+    model, genes = load_model_bundle(bundle_dir)
+    long_rows = []
+    for r in feats_pdf.itertuples(index=False):
+        for g, v in zip(GENES, r.features):
+            long_rows.append((str(r.doc_id), g, float(v)))
+    long_df = spark.createDataFrame(
+        long_rows, "sample_id string, gene_id string, value double"
+    )
+    want = (
+        predict_expression(long_df, model, genes, units="LOG1_TPM")[
+            "probability"
+        ]
+        .toPandas()
+        .sort_values(["doc_id", "label"])
+        .reset_index(drop=True)
+    )
+    assert len(got_prob) == len(want) > 0
+    assert (got_prob.doc_id.values == want.doc_id.values).all()
+    assert (got_prob.label.values == want.label.values).all()
+    assert np.allclose(got_prob.prob.values, want.prob.values, atol=1e-9)
+
+
+def _onto_to_obo(onto) -> str:
+    lines = ["format-version: 1.2", ""]
+    for t in onto.terms.itertuples(index=False):
+        lines.append("[Term]")
+        lines.append(f"id: {t.term_id}")
+        lines.append(f"name: {t.name}")
+        if t.is_obsolete:
+            lines.append("is_obsolete: true")
+        for c, p, rel in onto.edges[["src", "dst", "rel"]].itertuples(
+            index=False
+        ):
+            if c == t.term_id:
+                if rel == "is_a":
+                    lines.append(f"is_a: {p}")
+                else:
+                    lines.append(f"relationship: {rel} {p}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def test_cli_kg_runs_pipeline(spark, tmp_path, bundle_dir, onto):
+    from cello_spark.sources.fixtures import make_documents
+
+    docs_pdf, feats_pdf, _ = make_documents(onto, n_docs=60)
+    docs_path = str(tmp_path / "docs")
+    feats_path = str(tmp_path / "feats")
+    spark.createDataFrame(docs_pdf).write.parquet(docs_path)
+    spark.createDataFrame(feats_pdf).write.parquet(feats_path)
+    obo_path = str(tmp_path / "onto.obo")
+    with open(obo_path, "w") as f:
+        f.write(_onto_to_obo(onto))
+    work = str(tmp_path / "kgwork")
+    rc = main(
+        [
+            "kg",
+            "--documents", docs_path,
+            "--features", feats_path,
+            "--obo", obo_path,
+            "--model", bundle_dir,
+            "--workdir", work,
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    triples = spark.read.parquet(os.path.join(work, "triples", "data"))
+    n = triples.count()
+    assert n > 0
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert "rdf:type" in preds and "is_a" in preds
+    # resumable: a second run skips every stage
+    manifest = json.load(open(os.path.join(work, "manifest.json")))
+    assert manifest
