@@ -78,3 +78,73 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def table_file_stats(path: str) -> dict:
+    """Small-file detector: file count / byte totals for a parquet
+    directory tree (driver-side listing, metadata only — no Spark
+    job). The signal that schedules `compact_table`: a 100 TB triple
+    table written by many incremental micro-batches accretes tiny
+    files whose per-file open/footer cost eventually dominates scans."""
+    import os
+
+    n, total, largest = 0, 0, 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            sz = os.path.getsize(os.path.join(root, fn))
+            n += 1
+            total += sz
+            largest = max(largest, sz)
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "avg_bytes": total // n if n else 0,
+        "largest_bytes": largest,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: str | None = None,
+    sort_cols: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite a parquet directory into ~total/target files, optionally
+    range-clustered on `sort_cols` — the maintenance job every
+    long-lived incremental table needs (Iceberg calls it
+    rewrite_data_files; this is the parquet-fallback analog, matching
+    write_bucketed's degraded mode).
+
+    sort_cols engages repartitionByRange + sortWithinPartitions:
+    globally range-partitioned, within-file sorted output, so parquet
+    row-group min/max statistics prune scans on the sort prefix (the
+    one-dimensional analog of Iceberg sort orders). The rewrite is
+    atomic at directory granularity: output lands in a sibling temp
+    dir and swaps in via two renames — readers see the old or the new
+    tree, never a mix. Returns before/after file stats."""
+    import os
+    import shutil
+
+    before = table_file_stats(path)
+    n_files = max(1, -(-before["total_bytes"] // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    after = table_file_stats(path)
+    return {"before": before, "after": after, "target_files": n_files}

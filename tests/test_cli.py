@@ -148,3 +148,38 @@ def test_cli_kg_runs_pipeline(spark, tmp_path, bundle_dir, onto):
     # resumable: a second run skips every stage
     manifest = json.load(open(os.path.join(work, "manifest.json")))
     assert manifest
+
+
+def test_cli_predict_tsv_and_reconcile_override(spark, tmp_path, bundle_dir, onto):
+    from cello_spark.sources.fixtures import make_documents
+
+    _, feats_pdf, _ = make_documents(onto, n_docs=5)
+    csv_path = str(tmp_path / "expr5.csv")
+    with open(csv_path, "w") as f:
+        f.write("sample," + ",".join(GENES) + "\n")
+        for r in feats_pdf.itertuples(index=False):
+            f.write(
+                str(r.doc_id) + "," + ",".join(repr(v) for v in r.features) + "\n"
+            )
+    out_dir = str(tmp_path / "out_tsv")
+    rc = main(
+        [
+            "predict",
+            "--data", csv_path,
+            "--format", "csv",
+            "--units", "LOG1_TPM",
+            "--model", bundle_dir,
+            "--output", out_dir,
+            "--output-format", "tsv",
+            "--reconcile", "none",
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    prob = (
+        spark.read.option("header", True).option("sep", "\t")
+        .csv(f"{out_dir}/probability")
+    )
+    model, _ = load_model_bundle(bundle_dir)
+    assert prob.count() == 5 * len(model.labels)
+    assert set(prob.columns) == {"doc_id", "label", "prob"}

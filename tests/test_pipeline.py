@@ -440,3 +440,45 @@ def test_failed_stage_raises_not_swallowed(spark, tmp_path):
     )
     assert "bad" not in stages
     assert "downstream" not in stages
+
+
+def test_compact_table_small_files_and_sorted_pruning(spark, tmp_path):
+    """Compaction collapses a many-tiny-file table into few files with
+    identical data; sort_cols yields disjoint per-file ranges (the
+    row-group min/max pruning precondition)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from cello_spark.sources.sinks import compact_table, table_file_stats
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr(
+        "id", "cast(id % 97 as long) as k", "md5(cast(id as string)) as payload"
+    )
+    df.repartition(64).write.parquet(path)
+    before = table_file_stats(path)
+    assert before["n_files"] >= 32
+
+    stats = compact_table(
+        spark, path, target_file_bytes=1 << 30, sort_cols=("id",)
+    )
+    after = table_file_stats(path)
+    assert after["n_files"] < before["n_files"]
+    assert stats["after"]["n_files"] == after["n_files"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id)").collect()[0][0] == 10_000 * 9_999 // 2
+
+    # per-file id ranges must be disjoint (global range clustering)
+    ranges = []
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                t = pq.read_table(os.path.join(root, fn), columns=["id"])
+                if t.num_rows:
+                    ids = t.column("id").to_pylist()
+                    ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file id ranges overlap — not range-clustered"
