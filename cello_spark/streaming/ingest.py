@@ -318,3 +318,41 @@ def start_ingest_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def session_windows(
+    events: DataFrame,
+    key_col: str = "user_id",
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native session_window —
+    the streaming face of the batch q_sessionize query (gap-based
+    sessions via lag/cumsum windows): events for a key closer than
+    `gap` apart merge into one growing session; a session finalizes
+    (append-mode emit) once the watermark passes its end + gap.
+
+    Built-in-first by design: session_window state is managed by the
+    streaming aggregation operator JVM-side (merging windows in the
+    state store, watermark-driven eviction) — no custom
+    applyInPandasWithState needed for the canonical case; the custom
+    path (stateful_mention_totals) remains the escape hatch for
+    payloads the built-in can't express.
+
+    Output: (key, session_start, session_end, n_events) per finalized
+    session."""
+    return (
+        events.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -294,3 +294,61 @@ def test_mention_rates_watermark_finalizes_and_drops_late(spark, tmp_path):
     assert by_ws[(T0, "t1")] == 2
     assert by_ws[(T0 + dt.timedelta(minutes=5), "t1")] == 1
     assert by_ws[(T0 + dt.timedelta(minutes=6), "t1")] == 1
+
+
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    """Native session_window streaming sessionization: events within
+    the gap merge (even across micro-batches), sessions finalize once
+    the watermark passes end + gap, and the finalized counts match the
+    batch-side definition."""
+    import datetime as dt
+    import os
+
+    from cello_spark.streaming.ingest import session_windows
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = session_windows(
+        stream, key_col="user_id", event_time_col="ts",
+        gap="10 minutes", watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    T0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+
+    m = lambda k: T0 + dt.timedelta(minutes=k)
+    try:
+        # u1: events at 0 and 5 → one session [0, 15)
+        feed([("u1", m(0)), ("u1", m(5))])
+        # next batch EXTENDS the same session (8 < 5+10 gap) and opens
+        # a separate one for u2
+        feed([("u1", m(8)), ("u2", m(9))])
+        # event time jumps far ahead → everything above finalizes
+        feed([("u1", m(60))])
+        feed([("u1", m(120))])
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select key, session_start, session_end, n_events from sessions_test"
+    ).collect()
+    got = {
+        (r.key, r.session_start, r.session_end): r.n_events for r in rows
+    }
+    # u1's first three events merged across micro-batches into ONE
+    # session [9:00, 9:18) with 3 events
+    assert got[("u1", m(0), m(18))] == 3
+    assert got[("u2", m(9), m(19))] == 1
+    assert got[("u1", m(60), m(70))] == 1
