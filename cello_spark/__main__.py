@@ -43,7 +43,7 @@ def _spark(args):
     from cello_spark.session import get_spark
 
     kw = {"cores": args.cores}
-    if args.shuffle_partitions:
+    if args.shuffle_partitions is not None:
         kw["shuffle_partitions"] = args.shuffle_partitions
     return get_spark(app_name="cello_spark_cli", **kw)
 
@@ -67,25 +67,31 @@ def cmd_predict(args) -> int:
         strict=not args.no_strict,
     )
     write_outputs(outputs, args.output, fmt=args.output_format)
-    counts = {k: v.count() for k, v in outputs.items()}
+    # count the WRITTEN outputs (metadata-cheap for parquet) — counting
+    # the unpersisted DataFrames would re-run the whole predict DAG
+    counts = {}
+    for name in outputs:
+        path = f"{args.output}/{name}"
+        if args.output_format == "parquet":
+            counts[name] = spark.read.parquet(path).count()
+        else:
+            counts[name] = (
+                spark.read.option("header", True)
+                .option("sep", "\t")
+                .csv(path)
+                .count()
+            )
     print(json.dumps({"predict": counts, "output": args.output}))
     return 0
 
 
 def cmd_kg(args) -> int:
     from cello_spark.plans.kg import build_kg_pipeline
-    from cello_spark.sources.bundles import load_model_bundle
+    from cello_spark.sources.bundles import load_model_tables
     from cello_spark.sources.ontology import ontology_from_obo
 
     spark = _spark(args)
-    import pyarrow.parquet as pq
-
-    weights = pq.read_table(
-        os.path.join(args.model, "weights.parquet")
-    ).to_pandas()
-    thresholds = pq.read_table(
-        os.path.join(args.model, "thresholds.parquet")
-    ).to_pandas()
+    weights, thresholds = load_model_tables(args.model)
     with open(args.obo) as f:
         obo_text = f.read()
     labels = sorted(set(weights.label))

@@ -253,8 +253,14 @@ def save_model_bundle(
     genes: list[str],
     label_edges: list[tuple[str, str]],
     reconcile_mode: str = "dykstra",
+    qualifier_labels: set[str] = frozenset(),
+    precision_min: float | None = None,
 ) -> None:
-    """Write the predict-ready model bundle directory."""
+    """Write the predict-ready model bundle directory. qualifier_labels
+    and precision_min are part of the model's decision behavior
+    (most-specific exclusion mask and precision keep-mask,
+    operators/linking.py) — persisting them is what makes the loaded
+    model behave EXACTLY like the saved one."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -272,31 +278,51 @@ def save_model_bundle(
     with open(os.path.join(path, "edges.json"), "w") as f:
         json.dump([[c, p] for c, p in label_edges], f)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"reconcile_mode": reconcile_mode}, f)
+        json.dump(
+            {
+                "reconcile_mode": reconcile_mode,
+                "qualifier_labels": sorted(qualifier_labels),
+                "precision_min": precision_min,
+            },
+            f,
+        )
+
+
+def load_model_tables(path: str):
+    """(weights_pdf, thresholds_pdf) from a bundle dir — the one place
+    that knows the parquet file names (cmd_kg and load_model_bundle
+    both build on it)."""
+    import pyarrow.parquet as pq
+
+    weights = pq.read_table(os.path.join(path, "weights.parquet")).to_pandas()
+    thresholds = pq.read_table(
+        os.path.join(path, "thresholds.parquet")
+    ).to_pandas()
+    return weights, thresholds
 
 
 def load_model_bundle(path: str):
     """Load a model bundle → (LinkingModel, genes). The bundle is
     driver-side KB-scale state; the LinkingModel broadcasts from the
     driver exactly like a freshly-fitted one."""
-    import pyarrow.parquet as pq
-
     from cello_spark.operators.linking import LinkingModel
 
-    weights = pq.read_table(os.path.join(path, "weights.parquet")).to_pandas()
-    thresholds = pq.read_table(
-        os.path.join(path, "thresholds.parquet")
-    ).to_pandas()
+    weights, thresholds = load_model_tables(path)
     with open(os.path.join(path, "genes.json")) as f:
         genes = json.load(f)
     with open(os.path.join(path, "edges.json")) as f:
         edges = [tuple(e) for e in json.load(f)]
     meta_path = os.path.join(path, "meta.json")
-    reconcile = "dykstra"
+    meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            reconcile = json.load(f).get("reconcile_mode", "dykstra")
+            meta = json.load(f)
     model = LinkingModel.from_tables(
-        weights, thresholds, edges, reconcile_mode=reconcile
+        weights,
+        thresholds,
+        edges,
+        reconcile_mode=meta.get("reconcile_mode", "dykstra"),
+        qualifier_labels=set(meta.get("qualifier_labels", ())),
+        precision_min=meta.get("precision_min"),
     )
     return model, genes

@@ -383,7 +383,14 @@ def ontology_from_obo(
         ].drop_duplicates()
     patch = edges.iloc[0:0].copy()
     if labels is None:
-        labels = sorted(terms[~terms.is_obsolete].term_id)
+        # guard the empty parse (e.g. a Typedef-only file): an empty
+        # frame's boolean mask degenerates to column selection and
+        # would raise an opaque AttributeError below
+        labels = (
+            sorted(terms[~terms.is_obsolete.astype(bool)].term_id)
+            if len(terms)
+            else []
+        )
     return Ontology(
         terms=terms, edges=edges, patch_edges=patch, labels=list(labels)
     )

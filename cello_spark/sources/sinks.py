@@ -121,30 +121,52 @@ def compact_table(
     sort_cols engages repartitionByRange + sortWithinPartitions:
     globally range-partitioned, within-file sorted output, so parquet
     row-group min/max statistics prune scans on the sort prefix (the
-    one-dimensional analog of Iceberg sort orders). The rewrite is
-    atomic at directory granularity: output lands in a sibling temp
-    dir and swaps in via two renames — readers see the old or the new
-    tree, never a mix. Returns before/after file stats."""
+    one-dimensional analog of Iceberg sort orders). With partition_by
+    the repartition is HASHED ON THE PARTITION COLUMN so each task
+    holds few partition values — a round-robin repartition before a
+    partitioned write would emit one file per (task, value) and make
+    fragmentation WORSE, not better.
+
+    Swap protocol: output lands in a sibling temp dir, then two
+    renames (path -> .__compact_old, tmp -> path). A crash between
+    the renames leaves a brief no-table window; the next invocation
+    self-heals (old restored if path is missing, stale tmp/old debris
+    removed). True snapshot-atomic commits are what the Iceberg path
+    provides at scale — this is the parquet-fallback contract, same
+    as write_bucketed's. Returns before/after file stats."""
     import os
     import shutil
+
+    p = path.rstrip("/")
+    tmp = p + ".__compact_tmp"
+    old = p + ".__compact_old"
+    # crash recovery: a previous run that died between its two renames
+    # left the live tree stranded in `old` — restore it first
+    if os.path.exists(old) and not os.path.exists(p):
+        os.rename(old, p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     before = table_file_stats(path)
     n_files = max(1, -(-before["total_bytes"] // target_file_bytes))
     df = spark.read.parquet(path)
-    if sort_cols:
+    if partition_by:
+        # co-locate each partition value in few tasks; secondary sort
+        # still gives within-file clustering on the sort prefix
+        df = df.repartition(n_files, F.col(partition_by))
+        if sort_cols:
+            df = df.sortWithinPartitions(partition_by, *sort_cols)
+    elif sort_cols:
         df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
         df = df.sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(n_files)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
+    os.rename(p, old)
+    os.rename(tmp, p)
     shutil.rmtree(old, ignore_errors=True)
     after = table_file_stats(path)
     return {"before": before, "after": after, "target_files": n_files}

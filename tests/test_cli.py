@@ -145,9 +145,28 @@ def test_cli_kg_runs_pipeline(spark, tmp_path, bundle_dir, onto):
     assert n > 0
     preds = {r.pred for r in triples.select("pred").distinct().collect()}
     assert "rdf:type" in preds and "is_a" in preds
-    # resumable: a second run skips every stage
-    manifest = json.load(open(os.path.join(work, "manifest.json")))
-    assert manifest
+    # resumable through the CLI path: a second invocation skips
+    # every stage and leaves the triple count unchanged
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc2 = main(
+            [
+                "kg",
+                "--documents", docs_path,
+                "--features", feats_path,
+                "--obo", obo_path,
+                "--model", bundle_dir,
+                "--workdir", work,
+                "--cores", "8",
+            ]
+        )
+    assert rc2 == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert all(s["skipped"] for s in report["kg"])
+    assert report["triples"] == n
 
 
 def test_cli_predict_tsv_and_reconcile_override(spark, tmp_path, bundle_dir, onto):
@@ -183,3 +202,35 @@ def test_cli_predict_tsv_and_reconcile_override(spark, tmp_path, bundle_dir, ont
     model, _ = load_model_bundle(bundle_dir)
     assert prob.count() == 5 * len(model.labels)
     assert set(prob.columns) == {"doc_id", "label", "prob"}
+
+
+def test_bundle_preserves_qualifiers_and_precision(tmp_path, onto):
+    from cello_spark.sources.fixtures import make_model_weights, make_thresholds
+
+    path = str(tmp_path / "qbundle")
+    weights = make_model_weights(onto)
+    thresholds = make_thresholds(onto)
+    quals = {weights.label.iloc[0]}
+    # a cutoff strictly inside the fixture's precision range so the
+    # keep-mask is neither all-true nor all-false
+    pmin = float(thresholds.precision.median())
+    save_model_bundle(
+        path, weights, thresholds, GENES, [],
+        qualifier_labels=quals, precision_min=pmin,
+    )
+    model, _ = load_model_bundle(path)
+    # the qualifier mask and precision keep-mask survive the round trip
+    assert model.qualifier_mask.sum() == 1
+    assert model.labels[model.qualifier_mask.argmax()] == weights.label.iloc[0]
+    assert 0 < model.keep_mask.sum() < len(model.labels)
+
+
+def test_ontology_from_obo_empty_and_typedef_only():
+    from cello_spark.sources.ontology import ontology_from_obo
+
+    empty = ontology_from_obo("format-version: 1.2\n")
+    assert empty.labels == [] and len(empty.terms) == 0
+    typedef_only = ontology_from_obo(
+        "[Typedef]\nid: part_of\nname: part of\n"
+    )
+    assert typedef_only.labels == [] and len(typedef_only.edges) == 0

@@ -482,3 +482,57 @@ def test_compact_table_small_files_and_sorted_pruning(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "file id ranges overlap — not range-clustered"
+
+
+def test_compact_table_partitioned_does_not_fragment(spark, tmp_path):
+    """partition_by compaction hashes on the partition column — the
+    output must have ~1 file per partition value, never
+    tasks x values."""
+    import os
+
+    from cello_spark.sources.sinks import compact_table, table_file_stats
+
+    path = str(tmp_path / "part_frag")
+    df = spark.range(5_000).selectExpr(
+        "id", "cast(id % 5 as string) as k", "md5(cast(id as string)) as v"
+    )
+    df.repartition(40).write.partitionBy("k").parquet(path)
+    before = table_file_stats(path)
+    compact_table(
+        spark, path, target_file_bytes=1 << 30, partition_by="k",
+        sort_cols=("id",),
+    )
+    after = table_file_stats(path)
+    assert after["n_files"] < before["n_files"]
+    # target was ONE file total -> at most one file per partition dir
+    for d in os.listdir(path):
+        if d.startswith("k="):
+            files = [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) <= 1, (d, files)
+    back = spark.read.parquet(path)
+    assert back.count() == 5_000
+
+
+def test_compact_table_recovers_from_crash_debris(spark, tmp_path):
+    """A stranded .__compact_old from a crashed run is restored when
+    the live path is missing, and stale debris never blocks a rerun."""
+    import os
+    import shutil
+
+    from cello_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "crashy")
+    spark.range(100).write.parquet(path)
+    # simulate a crash between the two renames: live tree stranded
+    os.rename(path, path + ".__compact_old")
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 100
+    # stale old/tmp debris alongside a live table must not block
+    os.makedirs(path + ".__compact_old", exist_ok=True)
+    os.makedirs(path + ".__compact_tmp", exist_ok=True)
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".__compact_old")
