@@ -1,0 +1,106 @@
+"""Physical-plan invariants for the scale-critical operators: the
+claims the docstrings make about shuffles, join strategies, and
+pushdown, asserted against the FINAL (post-AQE) executed plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cello_spark.plans.audit import assert_no_cartesian, plan_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_pii_scrub_is_exchange_free(spark, docs):
+    from cello_spark.operators.scrub import pii_redact
+
+    stats = plan_stats(pii_redact(docs))
+    assert stats["exchanges"] == 0
+    assert stats["codegen_spans"] >= 1
+    assert not stats["has_python_eval"]
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, docs):
+    out = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+    stats = plan_stats(out)
+    assert stats["parquet_scans"] == 1
+    assert any("lang" in p for p in stats["pushed_filters"])
+
+
+def test_mention_detection_broadcasts_dictionary(spark, onto):
+    """The alias dictionary joins broadcast; the document side never
+    sort-merge joins (SURVEY §7.4: the document side is the 100 TB
+    side and must not shuffle for the dictionary)."""
+    from cello_spark.plans.kg import prepare_ontology
+    from cello_spark.operators.mentions import detect_mentions
+    from cello_spark.sources.fixtures import make_documents
+
+    prep = prepare_ontology(onto)
+    alias_df = spark.createDataFrame(prep["alias_dict"])
+    docs_pdf, _, _ = make_documents(onto, n_docs=50)
+    mentions = detect_mentions(spark.createDataFrame(docs_pdf), alias_df)
+    stats = assert_no_cartesian(mentions)
+    assert stats["sort_merge_joins"] == 0
+    assert stats["shuffled_hash_joins"] == 0
+
+
+def test_broadcast_dim_join_strategy(spark):
+    """nation ⋈ region stays a broadcast hash join — no shuffle of
+    either side beyond the dim broadcast."""
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    reg = spark.read.parquet(f"{SF}/region.parquet")
+    out = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    stats = plan_stats(out)
+    assert stats["broadcast_hash_joins"] == 1
+    assert stats["sort_merge_joins"] == 0
+
+
+def test_cosine_topk_broadcasts_queries_never_shuffles_corpus(spark):
+    """Exact cosine top-k replicates the SMALL query set (broadcast
+    nested-loop, a deliberate strategy) — the corpus side is scanned
+    once and never sort-merge joined or cartesian-multiplied."""
+    from cello_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, qs, k=5)
+    stats = assert_no_cartesian(out)
+    assert stats["sort_merge_joins"] == 0
+    assert stats["broadcast_nested_loop_joins"] == 1
+    assert stats["parquet_scans"] >= 1
+
+
+def test_chunk_documents_single_codegen_no_exchange(spark, docs):
+    from cello_spark.operators.corpus import chunk_documents
+
+    stats = plan_stats(chunk_documents(docs, chunk_tokens=32, overlap=8))
+    assert stats["exchanges"] == 0
+    assert not stats["has_python_eval"]
+
+
+def test_hash_sample_is_scan_plus_filter(spark, docs):
+    from cello_spark.operators.corpus import hash_sample
+
+    stats = plan_stats(hash_sample(docs, 0.25))
+    assert stats["exchanges"] == 0
+    assert stats["parquet_scans"] == 1
+
+
+def test_assert_no_cartesian_catches_blowup(spark):
+    # force a true CartesianProduct (broadcast would turn it into the
+    # benign nested-loop variant)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000)
+        b = spark.range(1000).withColumnRenamed("id", "id2")
+        with pytest.raises(AssertionError, match="cartesian"):
+            assert_no_cartesian(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
