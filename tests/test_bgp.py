@@ -136,3 +136,44 @@ def test_output_column_order_is_first_appearance(spark, triples_df):
         ],
     )
     assert df.columns == ["c", "n", "s"]
+
+
+def test_bgp_over_real_kg_pipeline_output(spark, tmp_path_factory, onto):
+    """Integration: query the ACTUAL triple table the KG pipeline
+    materializes — (?doc rdf:type ?term)(?term is_a ?parent) must
+    reproduce the join of typing triples with ontology edges."""
+    from cello_spark.plans.kg import build_kg_pipeline
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_thresholds,
+    )
+
+    work = str(tmp_path_factory.mktemp("bgp_kg"))
+    docs, feats, _ = make_documents(onto, n_docs=80)
+    pipe = build_kg_pipeline(
+        spark,
+        work,
+        spark.createDataFrame(docs),
+        spark.createDataFrame(feats),
+        onto,
+        make_model_weights(onto),
+        make_thresholds(onto),
+    )
+    pipe.run()
+    triples = pipe.output("triples")
+    got = {
+        (r.d, r.t, r.p)
+        for r in match_bgp(
+            triples,
+            [("?d", "rdf:type", "?t"), ("?t", "is_a", "?p")],
+        ).collect()
+    }
+    typing = {(r.subj, r.obj) for r in triples.filter("pred = 'rdf:type'").collect()}
+    isa = {}
+    for r in triples.filter("pred = 'is_a'").collect():
+        isa.setdefault(r.subj, set()).add(r.obj)
+    want = {
+        (d, t, p) for d, t in typing for p in isa.get(t, ())
+    }
+    assert got == want and len(got) > 0
