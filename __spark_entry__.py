@@ -1670,6 +1670,36 @@ def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("violation", "subj", "pred")
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tempered corpus rebalancing (p_s ∝ n_s^0.5, ~200-doc target):
+    per-stratum counts → driver-side rate derivation → deterministic
+    hash membership. Rates are floored to 3 decimals on BOTH sides so
+    the cross-engine comparison is immune to last-ulp float drift in
+    the rate arithmetic (the membership rule itself is exact integer
+    hashing)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.corpus import (
+        stratified_hash_sample,
+        temperature_mixture_rates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sizes = {
+        r[0]: r[1]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_mixture_rates(sizes, alpha=0.5, target_total=200)
+    rates3 = {s: math.floor(r * 1000) / 1000 for s, r in rates.items()}
+    return (
+        stratified_hash_sample(docs, rates3, "source")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: the sf documents are re-shaped
     into 10-token paragraphs (deterministic, mirrored in the oracle),
@@ -1775,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_walks": q_kg_walks,
         "q_kg_chains": q_kg_chains,
         "q_kg_validate": q_kg_validate,
+        "q_temperature_sample": q_temperature_sample,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3608,6 +3639,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM dom
             UNION ALL SELECT * FROM rng
             UNION ALL SELECT * FROM func
+        """,
+        "q_temperature_sample": f"""
+            WITH sizes AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, n, pow(n, 0.5) AS w FROM sizes
+            ), z AS (
+              SELECT sum(w) AS z FROM w
+            ), rates AS (
+              -- same operation order as temperature_mixture_rates:
+              -- c * (w / z) / n, capped at 1
+              SELECT source, n,
+                     least(1.0, 200.0 * (w / z.z) / n) AS rate
+              FROM w, z
+            ), thr AS (
+              -- milli-floored rate -> exact integer threshold
+              SELECT source,
+                     CAST(floor(rate * 1000) AS BIGINT) * 1000 AS t
+              FROM rates
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr USING (source)
+            WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 1000000 < t
         """,
         "q_dedup_paragraphs": f"""
             WITH toks AS (

@@ -60,6 +60,7 @@ HEADLINE = [
     "q_kg_walks",
     "q_kg_chains",
     "q_kg_validate",
+    "q_temperature_sample",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

@@ -310,3 +310,62 @@ def chunk_documents(
         F.array_join("chunk", " ").alias("chunk_text"),
         F.size("chunk").alias("n_tokens"),
     )
+
+
+def temperature_mixture_rates(
+    sizes: dict[str, int],
+    alpha: float = 0.3,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates that rebalance a corpus toward
+    p_s ∝ n_s^alpha — the exponent-smoothed (temperature) sampling
+    rule every multilingual pretraining pipeline uses to keep tail
+    languages/sources from drowning (XLM-R, Conneau et al. 2020 §3.1,
+    alpha=0.3; mBERT's exponent smoothing).
+
+    With target_total=None the scale is the largest feasible corpus
+    (the binding stratum keeps rate 1.0); otherwise expected kept rows
+    total ~target_total. Rates cap at 1.0 (sampling never duplicates).
+    Pure driver-side arithmetic over the per-stratum COUNTS (strata
+    are few; the corpus itself never leaves the cluster) — feed the
+    result to stratified_hash_sample for the deterministic membership
+    rule."""
+    if not sizes:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    w = {s: float(n) ** alpha for s, n in sizes.items()}
+    z = sum(w.values())
+    if target_total is None:
+        c = min(n / (w[s] / z) for s, n in sizes.items())
+    else:
+        c = float(target_total)
+    return {
+        s: min(1.0, c * (w[s] / z) / n) for s, n in sizes.items()
+    }
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.3,
+    target_total: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic tempered rebalancing: ONE map-side-combinable
+    count per stratum (collected — strata are dictionary-sized), rate
+    derivation driver-side, then the zero-shuffle hash-membership
+    filter of stratified_hash_sample."""
+    sizes = {
+        r[0]: r[1]
+        for r in docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_mixture_rates(
+        sizes, alpha=alpha, target_total=target_total
+    )
+    return stratified_hash_sample(
+        docs, rates, strata_col, default_rate=0.0, id_col=id_col, salt=salt
+    )

@@ -9,6 +9,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from cello_spark.operators.corpus import pack_token_bins, tfidf_top_terms
 from cello_spark.operators.multimodal import caption_pairs
@@ -394,3 +395,53 @@ def test_chunk_documents_errors(spark):
         chunk_documents(df, chunk_tokens=10, overlap=10)
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=-1)
+
+
+def test_temperature_mixture_rates_math():
+    from cello_spark.operators.corpus import temperature_mixture_rates
+
+    sizes = {"big": 90_000, "mid": 9_000, "tail": 1_000}
+    # alpha=1 -> proportional sampling -> uniform rates
+    r1 = temperature_mixture_rates(sizes, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # alpha=0 -> uniform target distribution -> the smallest stratum
+    # binds at rate 1.0 and every stratum keeps the same COUNT
+    r0 = temperature_mixture_rates(sizes, alpha=0.0)
+    kept = {s: r0[s] * n for s, n in sizes.items()}
+    assert abs(r0["tail"] - 1.0) < 1e-12
+    assert max(kept.values()) - min(kept.values()) < 1e-6
+    # intermediate alpha: tail keeps a LARGER rate than head
+    r = temperature_mixture_rates(sizes, alpha=0.3)
+    assert r["tail"] > r["mid"] > r["big"]
+    # target_total scales expected kept rows
+    rt = temperature_mixture_rates(sizes, alpha=0.3, target_total=1_000)
+    expect = sum(rt[s] * n for s, n in sizes.items())
+    assert abs(expect - 1_000) < 1.0
+    assert temperature_mixture_rates({}) == {}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        temperature_mixture_rates(sizes, alpha=-1)
+
+
+def test_temperature_sample_rebalances(spark):
+    from cello_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "head" if i < 9_000 else "tail") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, alpha=0.0, strata_col="source")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=0 targets a uniform mix: the tail keeps everything, the
+    # head downsamples to ~tail size (hash sampling is approximate)
+    assert counts["tail"] == 1_000
+    assert 800 < counts["head"] < 1_200
+    # deterministic: same input -> identical sample
+    again = {
+        r.source: r.n
+        for r in temperature_sample(df, alpha=0.0, strata_col="source")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert again == counts
