@@ -1,0 +1,162 @@
+"""Seeded randomized parity sweeps for the continuation-block
+operators (same style as the quality-op sweep): many small random
+instances against fresh-Python oracles, so edge shapes no hand-picked
+fixture covers (empty docs, hub nodes, singleton strata, colliding
+paragraphs) are exercised every run, deterministically."""
+
+import numpy as np
+import pytest
+
+from cello_spark.operators.bgp import match_bgp
+from cello_spark.operators import dedup as D
+
+
+def _rand_triples(rng, n_nodes=8, n_edges=18):
+    nodes = [f"n{i}" for i in range(n_nodes)]
+    preds = ["p", "q", "r"]
+    out = set()
+    for _ in range(n_edges):
+        out.add((
+            nodes[rng.integers(n_nodes)],
+            preds[rng.integers(len(preds))],
+            nodes[rng.integers(n_nodes)],
+        ))
+    return sorted(out)
+
+
+def _bgp_oracle(triples, patterns):
+    results = set()
+
+    def bind(i, env):
+        if i == len(patterns):
+            results.add(tuple(sorted(env.items())))
+            return
+        s, p, o = patterns[i]
+        for ts, tp, to in triples:
+            e = dict(env)
+            ok = True
+            for term, val in ((s, ts), (p, tp), (o, to)):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in e and e[v] != val:
+                        ok = False
+                        break
+                    e[v] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                bind(i + 1, e)
+
+    bind(0, {})
+    return results
+
+
+def _rand_pattern(rng, triples):
+    """Random 2-template BGP sharing one variable, terms drawn from
+    the triple alphabet so matches actually occur."""
+    t1 = triples[rng.integers(len(triples))]
+    t2 = triples[rng.integers(len(triples))]
+    # template 1: (?x, pred const, ?y); template 2: (?y, pred const, ?z)
+    return [("?x", t1[1], "?y"), ("?y", t2[1], "?z")]
+
+
+def test_bgp_randomized_vs_bruteforce(spark):
+    rng = np.random.default_rng(404)
+    for case in range(6):
+        triples = _rand_triples(rng)
+        pats = _rand_pattern(rng, triples)
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        got = {
+            tuple(sorted(r.asDict().items()))
+            for r in match_bgp(df, pats).collect()
+        }
+        want = _bgp_oracle(triples, pats)
+        assert got == want, (case, pats)
+
+
+def _para_oracle(docs):
+    def norm(p):
+        return " ".join(p.lower().split())
+
+    first = {}
+    for doc_id, text in docs:
+        for pos, para in enumerate(text.split("\n")):
+            if not para.strip():
+                continue
+            k = norm(para)
+            if k not in first or (doc_id, pos) < first[k]:
+                first[k] = (doc_id, pos)
+    out = {}
+    for doc_id, text in docs:
+        paras = [(pos, p) for pos, p in enumerate(text.split("\n")) if p.strip()]
+        kept = [p for pos, p in paras if first[norm(p)] == (doc_id, pos)]
+        out[doc_id] = (len(paras), len(kept), "\n".join(kept))
+    return out
+
+
+def test_dedup_paragraphs_randomized(spark):
+    """Random corpora with a small paragraph vocabulary (forcing heavy
+    collisions), empty docs, and whitespace-variant duplicates."""
+    rng = np.random.default_rng(405)
+    vocab = [
+        "alpha beta gamma", "shared boiler plate", "delta five six",
+        "  Shared   Boiler  Plate ", "omega", "",
+    ]
+    for case in range(5):
+        docs = []
+        for doc_id in range(12):
+            k = rng.integers(0, 5)
+            paras = [vocab[rng.integers(len(vocab))] for _ in range(k)]
+            docs.append((doc_id, "\n".join(paras)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_paragraphs, r.n_kept, r.text_deduped)
+            for r in D.dedup_paragraphs(df).collect()
+        }
+        assert got == _para_oracle(docs), case
+
+
+def test_cross_jaccard_randomized(spark):
+    """Random left/right corpora from a tiny token vocabulary vs the
+    brute-force cross oracle (heavy shingle collisions)."""
+    rng = np.random.default_rng(406)
+    words = ["spark", "graph", "join", "scan", "agg"]
+
+    def sh(text, n=3):
+        toks = " ".join(text.lower().split()).split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+
+    for case in range(4):
+        mk = lambda i0, m: [
+            (
+                i0 + i,
+                " ".join(words[rng.integers(len(words))] for _ in range(rng.integers(0, 9))),
+            )
+            for i in range(m)
+        ]
+        left, right = mk(0, 7), mk(100, 7)
+        ldf = spark.createDataFrame(left, "doc_id long, text string")
+        rdf = spark.createDataFrame(right, "doc_id long, text string")
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in D.jaccard_pairs_cross(
+                ldf, rdf, threshold=0.3, max_shingle_df=None
+            ).collect()
+        }
+        want = {}
+        for ia, ta in left:
+            for ib, tb in right:
+                a, b = sh(ta), sh(tb)
+                if not a or not b:
+                    continue
+                j = len(a & b) / len(a | b)
+                if j >= 0.3:
+                    want[(ia, ib)] = j
+        assert set(got) == set(want), case
+        for k_ in want:
+            assert abs(got[k_] - want[k_]) < 1e-12
