@@ -363,6 +363,14 @@ def temperature_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if None in sizes:
+        # a NULL stratum would be counted in the rate normalization
+        # (depressing every other rate) yet silently dropped by the
+        # membership equi-join — refuse instead
+        raise ValueError(
+            f"temperature_sample: NULL values in {strata_col!r}; "
+            "coalesce them to an explicit bucket first"
+        )
     rates = temperature_mixture_rates(
         sizes, alpha=alpha, target_total=target_total
     )

@@ -29,7 +29,24 @@ _EXCHANGE_RE = re.compile(
 # executedPlan().toString() marks codegen stages as `*(id) Node`;
 # the long form "WholeStageCodegen (id)" appears in formatted explain
 _CODEGEN_RE = re.compile(r"\*\((\d+)\)|WholeStageCodegen \((\d+)\)")
-_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+# no closing-bracket requirement: long filter lists are TRUNCATED by
+# spark.sql.maxMetadataStringLength before the ']' — requiring it
+# would report "no pushdown" for healthy plans
+_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]\n]*)")
+# every Python-eval plan node Spark 4 can emit — a rewrite that moves
+# work into Python must trip this no matter which API it used
+_PYTHON_NODES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInPandasWithState",
+    "WindowInPandas",
+    "AggregateInPandas",
+)
 
 
 def plan_stats(df: DataFrame, execute: bool = True) -> dict:
@@ -38,14 +55,25 @@ def plan_stats(df: DataFrame, execute: bool = True) -> dict:
     the same stable surface `.explain()` prints, and it works across
     AQE replanning without touching Spark internals."""
     if execute:
-        df.foreach(lambda _row: None)
+        # JVM-only materialization: executing the physical plan's RDD
+        # finalizes AQE without serializing a single row to Python
+        # (df.foreach would ship every row through Python workers)
+        try:
+            df._jdf.queryExecution().executedPlan().execute().count()  # noqa: SLF001
+        except Exception:
+            df.foreach(lambda _row: None)
     s = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     # under AQE the string carries the pre-adaptive plan again below an
     # "== Initial Plan ==" marker — count only the final plan
     s = s.split("== Initial Plan ==")[0]
+    # a ReusedExchange line embeds the referenced exchange's text —
+    # counting it would report one shuffle as two
+    exchange_lines = "\n".join(
+        ln for ln in s.splitlines() if "ReusedExchange" not in ln
+    )
     pushed = [m.group(1) for m in _PUSHED_RE.finditer(s)]
     return {
-        "exchanges": len(_EXCHANGE_RE.findall(s)),
+        "exchanges": len(_EXCHANGE_RE.findall(exchange_lines)),
         "broadcast_hash_joins": s.count("BroadcastHashJoin"),
         "sort_merge_joins": s.count("SortMergeJoin"),
         "shuffled_hash_joins": s.count("ShuffledHashJoin"),
@@ -59,8 +87,7 @@ def plan_stats(df: DataFrame, execute: bool = True) -> dict:
         ),
         "parquet_scans": s.count("Scan parquet"),
         "pushed_filters": [p for p in pushed if p.strip()],
-        "has_python_eval": "ArrowEvalPython" in s or "BatchEvalPython" in s
-        or "MapInPandas" in s,
+        "has_python_eval": any(node in s for node in _PYTHON_NODES),
         "plan": s,
     }
 

@@ -445,3 +445,13 @@ def test_temperature_sample_rebalances(spark):
         .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert again == counts
+
+
+def test_temperature_sample_rejects_null_strata(spark):
+    from cello_spark.operators.corpus import temperature_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_sample(df, strata_col="source")

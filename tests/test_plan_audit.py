@@ -104,3 +104,45 @@ def test_assert_no_cartesian_catches_blowup(spark):
             assert_no_cartesian(a.crossJoin(b))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_exchange_count_ignores_reused_exchange(spark):
+    """One real shuffle consumed twice via ReusedExchange must count
+    as ONE exchange, not two."""
+    base = spark.range(1000).selectExpr("id % 7 as k", "id")
+    agg = base.groupBy("k").count()
+    joined = agg.alias("x").join(
+        agg.withColumnRenamed("count", "c2").alias("y"), "k"
+    )
+    stats = plan_stats(joined)
+    if "ReusedExchange" in stats["plan"]:
+        assert stats["exchanges"] < stats["plan"].count("hashpartitioning")
+
+
+def test_pushed_filters_survive_metadata_truncation(spark, docs):
+    """Long pushed-filter lists are truncated by
+    spark.sql.maxMetadataStringLength before the closing bracket —
+    the parser must still report them."""
+    out = docs.where(
+        (F.col("lang") == "en")
+        & (F.col("n_chars") > 10)
+        & (F.col("source") != "x")
+        & (F.col("doc_id") > 5)
+        & (F.col("doc_id") < 10_000_000)
+    ).select("doc_id")
+    stats = plan_stats(out)
+    assert stats["pushed_filters"], stats["plan"]
+    assert any("lang" in p for p in stats["pushed_filters"])
+
+
+def test_python_eval_detection_covers_apply_in_pandas(spark):
+    def ident(key, pdf):
+        return pdf
+
+    df = (
+        spark.range(100)
+        .selectExpr("id % 4 as k", "id")
+        .groupBy("k")
+        .applyInPandas(ident, "k long, id long")
+    )
+    assert plan_stats(df)["has_python_eval"]
