@@ -160,3 +160,93 @@ def test_cross_jaccard_randomized(spark):
         assert set(got) == set(want), case
         for k_ in want:
             assert abs(got[k_] - want[k_]) < 1e-12
+
+
+def test_property_chains_randomized(spark):
+    """Random rule sets over random multi-relation graphs vs the
+    brute-force fixpoint oracle (deep towers force several rounds)."""
+    from cello_spark.operators.kgops import infer_property_chains
+
+    rng = np.random.default_rng(407)
+    rels = ["is_a", "part_of", "located_in"]
+    for case in range(4):
+        n = 7
+        rows = set()
+        # a chain backbone guarantees depth; random chords add breadth
+        for i in range(n - 1):
+            rows.add((f"v{i}", rels[rng.integers(3)], f"v{i+1}"))
+        for _ in range(6):
+            rows.add((
+                f"v{rng.integers(n)}", rels[rng.integers(3)],
+                f"v{rng.integers(n)}",
+            ))
+        rows = sorted(rows)
+        chains = [
+            (rels[rng.integers(3)], rels[rng.integers(3)], rels[rng.integers(3)])
+            for _ in range(2)
+        ]
+        df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer_property_chains(df, chains, max_iter=40).collect()
+        }
+        # brute-force fixpoint
+        allt = set(rows)
+        for _ in range(60):
+            new = set()
+            for r1, r2, out in chains:
+                for s, p, o in allt:
+                    if p != r1:
+                        continue
+                    for s2, p2, o2 in allt:
+                        if p2 == r2 and s2 == o:
+                            cand = (s, out, o2)
+                            if cand not in allt:
+                                new.add(cand)
+            if not new:
+                break
+            allt |= new
+        assert got == allt, (case, chains)
+
+
+def test_kg_diff_and_degree_randomized(spark):
+    from cello_spark.operators.kgops import kg_degree_stats, kg_diff_summary
+
+    rng = np.random.default_rng(408)
+    for case in range(4):
+        mk = lambda: sorted({
+            (f"s{rng.integers(6)}", ["p", "q"][rng.integers(2)], f"o{rng.integers(6)}")
+            for _ in range(15)
+        })
+        old, new = mk(), mk()
+        odf = spark.createDataFrame(old, "subj string, pred string, obj string")
+        ndf = spark.createDataFrame(new, "subj string, pred string, obj string")
+        got = {
+            r.pred: (r.n_added, r.n_removed, r.n_unchanged)
+            for r in kg_diff_summary(odf, ndf).collect()
+        }
+        so, sn = set(old), set(new)
+        preds = {p for _, p, _ in so | sn}
+        want = {}
+        for p in preds:
+            po = {t for t in so if t[1] == p}
+            pn = {t for t in sn if t[1] == p}
+            row = (len(pn - po), len(po - pn), len(pn & po))
+            if row != (0, 0, 0):
+                want[p] = row
+        # engine emits rows only for preds with any churn/overlap
+        assert {k: v for k, v in got.items()} == want, case
+
+        deg = {r.pred: r.asDict() for r in kg_degree_stats(odf).collect()}
+        for p in {x for _, x, _ in so}:
+            pt = [t for t in so if t[1] == p]
+            outd = {}
+            ind = {}
+            for s, _, o in pt:
+                outd[s] = outd.get(s, 0) + 1
+                ind[o] = ind.get(o, 0) + 1
+            assert deg[p]["n_triples"] == len(pt)
+            assert deg[p]["max_out_degree"] == max(outd.values())
+            assert deg[p]["max_in_degree"] == max(ind.values())
+            assert deg[p]["n_subjects"] == len(outd)
+            assert deg[p]["n_objects"] == len(ind)
