@@ -1700,6 +1700,21 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb limit-pages-per-
+    domain rule): at most 20 docs per source, survivors chosen by
+    deterministic md5-hash order so the kept set is a uniform,
+    engine-reproducible sample of each stratum."""
+    from cello_spark.operators.corpus import cap_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cap_per_stratum(docs, 20, strata_col="source")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span removal: the sf documents are re-shaped
     into 10-token paragraphs (deterministic, mirrored in the oracle),
@@ -1806,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_chains": q_kg_chains,
         "q_kg_validate": q_kg_validate,
         "q_temperature_sample": q_temperature_sample,
+        "q_cap_per_stratum": q_cap_per_stratum,
         # rows-only (engine-specific hash / approximate / non-SQL):
         "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3639,6 +3655,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM dom
             UNION ALL SELECT * FROM rng
             UNION ALL SELECT * FROM func
+        """,
+        "q_cap_per_stratum": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_duck_h64("cast(doc_id AS VARCHAR)")} ASC,
+                                doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 20
         """,
         "q_temperature_sample": f"""
             WITH sizes AS (

@@ -61,6 +61,7 @@ HEADLINE = [
     "q_kg_chains",
     "q_kg_validate",
     "q_temperature_sample",
+    "q_cap_per_stratum",
 ]
 
 # docs for the KG pipeline bench, proportional to lineitem SF

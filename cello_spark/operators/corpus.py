@@ -377,3 +377,39 @@ def temperature_sample(
     return stratified_hash_sample(
         docs, rates, strata_col, default_rate=0.0, id_col=id_col, salt=salt
     )
+
+
+def cap_per_stratum(
+    docs: DataFrame,
+    n_max: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum cap: keep at most n_max rows per
+    stratum — the "limit pages per domain" rule web-corpus pipelines
+    apply so no single site dominates (C4 and RefinedWeb both cap
+    per-domain contributions). Which rows survive is decided by
+    md5-hash order (salt-keyed), NOT arrival order, so the kept set
+    is a uniform, reproducible sample of each stratum — identical
+    across re-runs, partitionings, and engines.
+
+    One shuffle (window over the stratum); strata above ~task-memory
+    row counts would want the rank pre-aggregated per salt bucket
+    first, but a cap rule's strata are domains — bounded by the cap
+    itself after the first pass."""
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_max)
+        .drop("__rk")
+    )

@@ -455,3 +455,33 @@ def test_temperature_sample_rejects_null_strata(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         temperature_sample(df, strata_col="source")
+
+
+def test_cap_per_stratum_deterministic_uniform(spark):
+    from cello_spark.operators.corpus import cap_per_stratum
+
+    rows = [(i, "big" if i < 970 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_stratum(df, 50, strata_col="source")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # big stratum capped, small (30 rows, under the cap) kept whole
+    assert counts == {"big": 50, "small": 30}
+    # deterministic across partitionings
+    again = {
+        r.doc_id
+        for r in cap_per_stratum(df.repartition(13), 50, strata_col="source").collect()
+    }
+    assert again == {r.doc_id for r in out.collect()}
+    # different salt -> different survivor set (same sizes)
+    other = {
+        r.doc_id
+        for r in cap_per_stratum(df, 50, strata_col="source", salt="x").collect()
+    }
+    assert other != again and len(other) == len(again)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cap_per_stratum(df, 0)
