@@ -394,12 +394,16 @@ def cap_per_stratum(
     is a uniform, reproducible sample of each stratum — identical
     across re-runs, partitionings, and engines.
 
-    One shuffle (window over the stratum); strata above ~task-memory
-    row counts would want the rank pre-aggregated per salt bucket
-    first, but a cap rule's strata are domains — bounded by the cap
-    itself after the first pass."""
+    Scale: two-phase top-k (partitioning.capped_per_group) — phase 1
+    pre-caps within (stratum, hash-salt bucket) so a giant stratum is
+    sorted by n_buckets tasks instead of one; phase 2 ranks at most
+    n_buckets * n_max survivors per stratum, a bound set by the
+    parameters, not the data. Output is identical to the
+    single-window form."""
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
+    from cello_spark.partitioning import capped_per_group
+
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
@@ -407,9 +411,13 @@ def cap_per_stratum(
         16,
         10,
     ).cast("bigint")
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        docs.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_max)
-        .drop("__rk")
+        capped_per_group(
+            docs.withColumn("__h", h),
+            [strata_col],
+            ["__h", id_col],
+            n_max,
+            bucket_key=id_col,
+        )
+        .drop("__h")
     )

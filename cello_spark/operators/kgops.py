@@ -131,11 +131,13 @@ def kg_negative_samples(
     negatives — standard practice; callers wanting exactly k re-draw
     with a second seed.
 
-    Scale: the domain index is ONE row_number window per predicate
-    (shuffle by pred; domains are per-predicate so no global sort),
-    corruption requests join the indexed domain on (pred, idx) — a
-    uniform hash key, no hub skew — and the false-negative filter is
-    one anti-join on the triple key. No driver-side collection, no
+    Scale: the domain index is a range-partitioned distributed rank
+    (partitioning.per_group_sorted_index) — a predicate whose entity
+    domain is huge (an rdf:type-like predicate with 10^8 objects)
+    spans many range partitions instead of being ONE task's window
+    sort; corruption requests join the indexed domain on (pred, idx)
+    — a uniform hash key, no hub skew — and the false-negative filter
+    is one anti-join on the triple key. No driver-side collection, no
     broadcast of unbounded domains."""
     if corrupt not in ("obj", "subj"):
         raise ValueError(f"corrupt must be 'obj' or 'subj', got {corrupt!r}")
@@ -143,17 +145,15 @@ def kg_negative_samples(
         # sequence(0, k-1) descends for k <= 0, silently emitting
         # draws 0 and -1 — reject instead
         raise ValueError(f"k must be >= 1, got {k}")
-    from pyspark.sql import Window
+    from cello_spark.partitioning import per_group_sorted_index
 
     t = triples.select("subj", "pred", "obj").dropDuplicates()
     ent_col = corrupt
-    dom = (
-        t.select("pred", F.col(ent_col).alias("ent"))
-        .dropDuplicates()
-        .withColumn(
-            "idx",
-            F.row_number().over(Window.partitionBy("pred").orderBy("ent")) - 1,
-        )
+    dom = per_group_sorted_index(
+        t.select("pred", F.col(ent_col).alias("ent")).dropDuplicates(),
+        ["pred"],
+        ["ent"],
+        idx_col="idx",
     )
     dom_sizes = dom.groupBy("pred").agg(F.count(F.lit(1)).alias("dom_sz"))
     reqs = (
@@ -229,29 +229,29 @@ def kg_random_walks(
     Output: (start, walk, path, n_steps) with path the '->'-joined
     node sequence (walk_len edges at most).
 
-    Scale: the adjacency index is ONE row_number window per source
-    node; each of the walk_len steps is two equi-joins (frontier ⋈
-    degree, frontier ⋈ adjacency on (node, idx)) — join keys are
-    nodes, so hub-heavy graphs inherit AQE skew splitting; the
-    frontier never grows (|nodes| x walks_per_node rows throughout).
-    walk_len is a fixed small constant, so the lineage stays
-    bounded — no iterative convergence loop, no checkpointing need."""
+    Scale: the adjacency index is a range-partitioned distributed
+    rank (partitioning.per_group_sorted_index) — a hub node's
+    neighbor list spans many range partitions instead of being ONE
+    task's window sort; each of the walk_len steps is two equi-joins
+    (frontier ⋈ degree, frontier ⋈ adjacency on (node, idx)) — join
+    keys are nodes, so hub-heavy graphs inherit AQE skew splitting;
+    the frontier never grows (|nodes| x walks_per_node rows
+    throughout). walk_len is a fixed small constant, so the lineage
+    stays bounded — no iterative convergence loop, no checkpointing
+    need."""
     if walk_len < 1 or walks_per_node < 1:
         # sequence(0, n-1) descends for n <= 0 (emitting walk=-1 rows)
         raise ValueError(
             f"need walk_len >= 1 and walks_per_node >= 1, got "
             f"{walk_len}/{walks_per_node}"
         )
-    from pyspark.sql import Window
+    from cello_spark.partitioning import per_group_sorted_index
 
     e = (
         triples.select(F.col("subj").alias("cur"), F.col("obj").alias("nxt"))
         .dropDuplicates()
     )
-    adj = e.withColumn(
-        "idx",
-        F.row_number().over(Window.partitionBy("cur").orderBy("nxt")) - 1,
-    )
+    adj = per_group_sorted_index(e, ["cur"], ["nxt"], idx_col="idx")
     deg = adj.groupBy("cur").agg(F.count(F.lit(1)).alias("d"))
     frontier = (
         e.select(F.col("cur").alias("start"))
