@@ -94,10 +94,15 @@ def match_bgp(
         if shared:
             out = out.join(t, on=shared, how="inner")
         else:
-            _log.warning(
-                "match_bgp: pattern %d (%r) shares no variable with the "
-                "preceding patterns — cartesian product", idx, pat
-            )
+            if bound:
+                # genuinely disjoint variable sets — a real blow-up
+                _log.warning(
+                    "match_bgp: pattern %d (%r) shares no variable with "
+                    "the preceding patterns — cartesian product", idx, pat
+                )
+            # else: `out` is a zero-column existence frame (only ASK
+            # constraints so far) — the crossJoin is against at most
+            # one row, the intended cheap plan, not a blow-up
             out = out.crossJoin(t)
         bound += [v for v in t.columns if v not in bound]
     assert out is not None

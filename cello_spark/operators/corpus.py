@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from cello_spark.functions.text import tokens as _tokens
@@ -41,12 +43,38 @@ def _portable_shard(col, n_shards: int):
     return (h % n_shards).alias("shard")
 
 
+def _tfidf_from_tf(tf: DataFrame, n_docs: int, k: int) -> DataFrame:
+    """Score + per-doc top-k over an already-aggregated (doc_id, term,
+    tf) table. Shared by the plain and the cached entry points."""
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(df, "term").withColumn(
+        "tfidf", F.col("tf").cast("double") * idf
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def _tf_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    persist_tf: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 
@@ -65,43 +93,45 @@ def tfidf_top_terms(
     tf is consumed twice (the df aggregate and the final scoring
     join), and Spark plans two full corpus scans for that self-join
     (no exchange reuse across the re-analyzed subtree — verified on
-    the executed plan). We persist tf — the already-shuffled,
-    combined (doc, term, tf) table, a fraction of the raw text
-    bytes — so the corpus is scanned, exploded, and aggregated ONCE;
-    MEMORY_AND_DISK keeps lineage intact for executor-loss recovery
-    at cluster scale (unlike a localCheckpoint).
+    the executed plan). This plain entry point pays the second scan
+    and holds NO cache; for the single-scan path use
+    `tfidf_top_terms_cached`, whose `with` block scopes the persisted
+    tf table explicitly (no handle stashed on a DataFrame attribute —
+    those are silently lost by the next transformation)."""
+    n_docs = docs.count()
+    return _tfidf_from_tf(_tf_table(docs, id_col, text_col), n_docs, k)
 
-    The persisted tf lives until unpersisted: in a long-lived session
-    call `result.tf_handle.unpersist()` once the returned frame is
-    materialized (the handle is stashed on the returned DataFrame), or
-    pass persist_tf=False to trade the cache for a second corpus scan.
-    """
+
+@contextmanager
+def tfidf_top_terms_cached(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Single-corpus-scan TF-IDF: persists the aggregated (doc_id,
+    term, tf) table (MEMORY_AND_DISK — spills instead of evicting, and
+    keeps lineage intact for executor-loss recovery, unlike a
+    localCheckpoint) so the scan + explode + aggregate runs ONCE for
+    the df aggregate and the scoring join. Yields the top-k frame;
+    unpersists the tf cache when the `with` block exits:
+
+        with tfidf_top_terms_cached(docs, k=5) as top:
+            top.write.parquet(...)   # materialize INSIDE the block
+
+    Cache sizing: tf is one row per distinct (doc, term) — typically
+    ~50-200 rows/doc, a fraction of the raw text bytes, but still
+    corpus-proportional: at 100 TB budget executor storage memory for
+    it or accept disk spill; the plain tfidf_top_terms trades the
+    cache for a second scan."""
     from pyspark.storagelevel import StorageLevel
 
     n_docs = docs.count()
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks"))
-        .select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    if persist_tf:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
-    scored = tf.join(df, "term").withColumn(
-        "tfidf", F.col("tf").cast("double") * idf
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
-    )
-    out.tf_handle = tf if persist_tf else None
-    return out
+    tf = _tf_table(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        yield _tfidf_from_tf(tf, n_docs, k)
+    finally:
+        tf.unpersist()
 
 
 def pack_token_bins(

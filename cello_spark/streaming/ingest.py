@@ -49,9 +49,15 @@ def stream_documents(
     `schema=None` takes the physical schema from the files already
     present (streams need an explicit schema; the logical contract is
     DOCUMENT_SCHEMA, but e.g. the offset column may be materialized as
-    int32 or int64 depending on the writer)."""
+    int32 or int64 depending on the writer). An EMPTY (or not yet
+    created) ingest directory has nothing to infer from — fall back to
+    DOCUMENT_SCHEMA so a stream can start before the first file lands
+    instead of crashing with 'Unable to infer schema'."""
     if schema is None:
-        schema = spark.read.parquet(input_dir).schema
+        try:
+            schema = spark.read.parquet(input_dir).schema
+        except Exception:
+            schema = DOCUMENT_SCHEMA
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -76,12 +82,15 @@ def ingest_available_now(
     checkpoint_dir: str,
     alias_dict: DataFrame,
     timeout_sec: int = 300,
+    schema: str | None = None,
 ) -> None:
     """Process all files not yet recorded in the checkpoint, append the
     detected mentions to `output_dir`, then stop (Trigger.AvailableNow).
     Re-invoking after new files land processes ONLY the new files —
-    exactly-once ingest via the file-source + sink commit logs."""
-    docs = stream_documents(spark, input_dir)
+    exactly-once ingest via the file-source + sink commit logs.
+    `schema` overrides inference (see stream_documents); an empty
+    input_dir starts cleanly under DOCUMENT_SCHEMA either way."""
+    docs = stream_documents(spark, input_dir, schema=schema)
     mentions = streaming_mentions(docs, alias_dict)
     q = (
         mentions.writeStream.format("parquet")
@@ -171,6 +180,7 @@ def run_incremental_kg(
     features_path: str,
     timeout_sec: int = 600,
     max_files_per_trigger: int = 64,
+    schema: str | None = None,
 ) -> None:
     """End-to-end INCREMENTAL KG construction: new document files →
     mentions → linking → canonical typing triples, one micro-batch at a
@@ -267,7 +277,10 @@ def run_incremental_kg(
         )
 
     docs = stream_documents(
-        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+        spark,
+        input_dir,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
     )
     q = (
         docs.writeStream.foreachBatch(_process)
@@ -306,9 +319,10 @@ def start_ingest_stream(
     checkpoint_dir: str,
     alias_dict: DataFrame,
     trigger_seconds: int = 30,
+    schema: str | None = None,
 ) -> StreamingQuery:
     """Continuous micro-batch ingest (caller owns the query lifecycle)."""
-    docs = stream_documents(spark, input_dir)
+    docs = stream_documents(spark, input_dir, schema=schema)
     mentions = streaming_mentions(docs, alias_dict)
     return (
         mentions.writeStream.format("parquet")

@@ -177,3 +177,18 @@ def test_bgp_over_real_kg_pipeline_output(spark, tmp_path_factory, onto):
         (d, t, p) for d, t in typing for p in isa.get(t, ())
     }
     assert got == want and len(got) > 0
+
+
+def test_ask_then_variable_pattern_no_cartesian_warning(spark, triples_df, caplog):
+    # an ASK-style constant pattern first, variables second: the
+    # crossJoin is against a 1-row existence frame — correct results,
+    # and NO spurious cartesian-product warning
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="cello_spark.operators.bgp"):
+        got = _run(
+            triples_df,
+            [("de", "borders", "fr"), ("?n", "in_region", "europe")],
+        )
+    assert {dict(t)["n"] for t in got} == {"de", "fr"}
+    assert not [r for r in caplog.records if "cartesian" in r.message]

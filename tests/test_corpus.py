@@ -485,3 +485,19 @@ def test_cap_per_stratum_deterministic_uniform(spark):
 
     with _p.raises(ValueError):
         cap_per_stratum(df, 0)
+
+
+def test_tfidf_cached_matches_plain_and_scopes_cache(spark):
+    from cello_spark.operators.corpus import tfidf_top_terms_cached
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    plain = sorted(map(tuple, tfidf_top_terms(df, k=3).collect()))
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with tfidf_top_terms_cached(df, k=3) as top:
+        got = sorted(map(tuple, top.collect()))
+        # the tf cache is alive inside the block
+        during = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert during == before + 1
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before  # unpersisted on exit
+    assert got == plain

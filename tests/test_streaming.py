@@ -352,3 +352,23 @@ def test_session_windows_merge_and_finalize(spark, tmp_path):
     assert got[("u1", m(0), m(18))] == 3
     assert got[("u2", m(9), m(19))] == 1
     assert got[("u1", m(60), m(70))] == 1
+
+
+def test_ingest_starts_on_empty_directory(spark, world, tmp_path):
+    # a fresh (empty) ingest dir must start cleanly under the
+    # DOCUMENT_SCHEMA fallback instead of dying on schema inference,
+    # and a later catch-up over real files still works from the same
+    # checkpoint
+    alias_df, batch1, _ = world
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    ingest_available_now(spark, in_dir, out_dir, ckpt, alias_df)
+    spark.createDataFrame(batch1).write.mode("append").parquet(in_dir)
+    ingest_available_now(spark, in_dir, out_dir, ckpt, alias_df)
+    got = spark.read.parquet(out_dir)
+    want = detect_mentions(
+        spark.createDataFrame(batch1), alias_df, distinct=False
+    )
+    assert got.count() == want.count()
