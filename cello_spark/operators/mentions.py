@@ -123,6 +123,8 @@ def detect_mentions(
     max_n: int | None = None,
     distinct: bool = True,
     gate: str = "auto",  # "auto" | "case" | "join"
+    probe: str = "hash",  # "hash" | "string"
+    dict_collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Dictionary mention detection. Returns
     (doc_id, span_idx, offset, alias_norm, term_id), distinct per
@@ -134,7 +136,7 @@ def detect_mentions(
       1. FIRST-TOKEN GATE: only token positions whose token can start
          an alias build n-grams — this prunes the candidate space by
          the fraction of corpus tokens that can start an alias (the
-         dominant cost at scale is n-gram string construction, so the
+         dominant cost at scale is candidate construction, so the
          gate is worth ~an order of magnitude on real text). Two
          equivalent implementations, chosen by `gate`:
            "case" — a driver-built CASE/IN literal over the distinct
@@ -146,11 +148,29 @@ def detect_mentions(
              arbitrarily large dictionaries (10⁵+ aliases, e.g.
              EFO+DOID+CL+UBERON merged); costs one explode.
            "auto" — "case" below MAX_CASE_GATE_TOKENS, else "join".
-      2. n-grams at surviving positions, built only for the EXACT
+      2. candidates at surviving positions, built only for the EXACT
          lengths of aliases starting with that token (not 1..max),
-         joined against the full alias dictionary.
+         probed against the alias dictionary. `probe` picks the key:
+           "hash" (default) — xxhash64 directly over the window's
+             token columns (one CASE arm per candidate length), joined
+             against the identically-hashed alias side, with an exact
+             string verify ONLY on hash hits. Gated-but-non-matching
+             positions (the majority on real text) never allocate an
+             n-gram string at all — this cuts the stage's dominant
+             allocator (candidate UTF8String construction, measured
+             via the (8,32) scaling probes) without changing results:
+             the post-join verify makes hash collisions harmless.
+           "string" — concat_ws the n-gram per candidate and join on
+             it (the reference formulation; kept for A/B measurement
+             and as the oracle-shaped plan).
+
+    Dictionaries larger than `dict_collect_threshold` rows never touch
+    the driver: max_n and the first-token gate table are computed with
+    small Spark aggregations instead of a collect (gate is forced to
+    "join"; "case" would need driver-side literals). Below the
+    threshold the dictionary is collected once — dict-sized data, and
+    the CASE/IN gate needs the literals anyway.
     """
-    aliases = alias_dict.select("alias_norm", "term_id").collect()
     spark = documents.sparkSession
     # empty-dictionary returns must carry the SAME schema the populated
     # path produces (doc_id/term_id types come from the inputs), or a
@@ -161,27 +181,51 @@ def detect_mentions(
         "span_idx int, offset int, alias_norm string, "
         f"term_id {alias_dict.schema['term_id'].dataType.simpleString()}"
     )
-    if not aliases:
+    if probe not in ("hash", "string"):
+        raise ValueError(f"unknown probe {probe!r}")
+    n_aliases = alias_dict.count()
+    if n_aliases == 0:
         return spark.createDataFrame([], empty_schema)
-    if max_n is None:
-        max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
-    # per-first-token EXACT alias length set: positions only build
-    # n-grams whose length some alias starting with that token actually
-    # has. A token that starts only {2,3}-word aliases never builds the
-    # 1-gram — sequence(1, max_len) would. Candidate string
-    # construction is the stage's dominant allocator, so the exact set
-    # cuts both CPU and the allocation pressure that anti-scales on a
-    # shared heap (~1.5x fewer candidate lengths on the fixture
-    # dictionary, more on real ontologies whose long aliases are rare).
     ft_lengths: dict[str, set[int]] = {}
-    for a in aliases:
-        parts = a.alias_norm.split(" ")
-        if len(parts) <= max_n:
-            ft_lengths.setdefault(parts[0], set()).add(len(parts))
-    if not ft_lengths:
-        return spark.createDataFrame([], empty_schema)
-    if gate == "auto":
-        gate = "case" if len(ft_lengths) <= MAX_CASE_GATE_TOKENS else "join"
+    gate_df = None
+    if n_aliases > dict_collect_threshold:
+        if gate == "case":
+            raise ValueError(
+                f"gate='case' needs driver-side literals; dictionary has "
+                f"{n_aliases} rows (> {dict_collect_threshold}) — use "
+                "gate='join' or 'auto'"
+            )
+        gate = "join"
+        parts = alias_dict.select(F.split("alias_norm", " ").alias("p"))
+        if max_n is None:
+            max_n = parts.agg(F.max(F.size("p"))).first()[0]
+        gate_df = (
+            parts.select(F.col("p")[0].alias("tok"), F.size("p").alias("l"))
+            .filter(F.col("l") <= max_n)
+            .groupBy("tok")
+            .agg(F.sort_array(F.collect_set("l")).alias("ns"))
+        )
+    else:
+        aliases = alias_dict.select("alias_norm", "term_id").collect()
+        if max_n is None:
+            max_n = max(len(a.alias_norm.split(" ")) for a in aliases)
+        # per-first-token EXACT alias length set: positions only build
+        # candidates whose length some alias starting with that token
+        # actually has. A token that starts only {2,3}-word aliases
+        # never builds the 1-gram — sequence(1, max_len) would.
+        # Candidate construction is the stage's dominant allocator, so
+        # the exact set cuts both CPU and the allocation pressure that
+        # anti-scales on a shared heap (~1.5x fewer candidate lengths
+        # on the fixture dictionary, more on real ontologies whose
+        # long aliases are rare).
+        for a in aliases:
+            parts_ = a.alias_norm.split(" ")
+            if len(parts_) <= max_n:
+                ft_lengths.setdefault(parts_[0], set()).add(len(parts_))
+        if not ft_lengths:
+            return spark.createDataFrame([], empty_schema)
+        if gate == "auto":
+            gate = "case" if len(ft_lengths) <= MAX_CASE_GATE_TOKENS else "join"
 
     toks = text_spans(documents).select(
         "doc_id",
@@ -254,12 +298,13 @@ def detect_mentions(
             F.col("ns").isNotNull()
         )
     elif gate == "join":
-        gate_df = spark.createDataFrame(
-            sorted(
-                (t, sorted(ls)) for t, ls in ft_lengths.items()
-            ),
-            "tok string, ns array<int>",
-        )
+        if gate_df is None:
+            gate_df = spark.createDataFrame(
+                sorted(
+                    (t, sorted(ls)) for t, ls in ft_lengths.items()
+                ),
+                "tok string, ns array<int>",
+            )
         # inner broadcast join IS the gate: non-starting positions drop
         gated = tokpos.join(F.broadcast(gate_df), "tok")
     else:
@@ -276,16 +321,53 @@ def detect_mentions(
         "pos",
         *window_cols,
         F.explode("ns").alias("n"),
-    ).where(F.expr("n <= n_toks - pos")).select(
-        "doc_id",
-        "span_idx",
-        "offset",
-        F.expr(ngram_case).alias("ngram"),
-    )
-    out = cands.join(
-        F.broadcast(alias_dict),
-        cands.ngram == alias_dict.alias_norm,
-    ).select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
+    ).where(F.expr("n <= n_toks - pos"))
+    if probe == "hash":
+        # hash the window columns directly — per-arity CASE arms keep
+        # the call codegen'd; no candidate string is ever allocated
+        # for positions that miss the dictionary
+        hash_case = "CASE n " + " ".join(
+            f"WHEN {k} THEN xxhash64({', '.join(window_cols[:k])})"
+            for k in range(1, max_n + 1)
+        ) + " END"
+        alias_h = (
+            alias_dict.select(
+                "alias_norm", "term_id", F.split("alias_norm", " ").alias("p")
+            )
+            .withColumn("al", F.size("p"))
+            .filter(F.col("al") <= max_n)
+            .withColumn(
+                "hh",
+                F.expr(
+                    "CASE al " + " ".join(
+                        f"WHEN {k} THEN xxhash64("
+                        + ", ".join(f"p[{i}]" for i in range(k))
+                        + ")"
+                        for k in range(1, max_n + 1)
+                    ) + " END"
+                ),
+            )
+            .select("hh", "alias_norm", "term_id")
+        )
+        out = (
+            cands.withColumn("hh", F.expr(hash_case))
+            .join(F.broadcast(alias_h), "hh")
+            # exact verify on hash hits only: the n-gram string is
+            # built for the (tiny) hit set, making collisions harmless
+            .where(F.expr(ngram_case) == F.col("alias_norm"))
+            .select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
+        )
+    else:
+        strung = cands.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.expr(ngram_case).alias("ngram"),
+        )
+        out = strung.join(
+            F.broadcast(alias_dict),
+            strung.ngram == alias_dict.alias_norm,
+        ).select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
     if not distinct:
         # streaming callers and the KG pipeline skip the dedup — a
         # stateful dropDuplicates on an unbounded stream needs a

@@ -184,11 +184,20 @@ class KGModel:
 
     # -- predict --------------------------------------------------------
 
-    def predict(self, features: DataFrame) -> DataFrame:
+    def predict(self, features: DataFrame, confidence: bool = False) -> DataFrame:
         """Linear variants: the standard linked frame (doc_id, probs,
         bins, most_specific, final_labels). onn: (doc_id, ref_id,
         distance, labels) — the neighbor's label set, the reference's
-        OneNN output."""
+        OneNN output.
+
+        `confidence=True` (onn only) additionally fans the neighbor
+        out to the reference-shaped per-label confidence matrix
+        (one_nn.py:60-152: -distance for the neighbor's labels, -inf
+        for every other label in the training universe), in long form
+        (doc_id, label, confidence) — one row per (doc, universe
+        label). The fan-out is a broadcast nested-loop join against
+        the label universe (dict-sized), so the document side still
+        never shuffles."""
         if self.spec.classifier == "onn":
             assert self.onn_ref is not None, "predict before fit"
             metric = self.spec.classifier_params.get("metric", "euclidean")
@@ -204,9 +213,32 @@ class KGModel:
             )
             spark = features.sparkSession
             labs = spark.createDataFrame(self.onn_labels)
-            return hits.select(
+            base = hits.select(
                 F.col("id").alias("doc_id"), "ref_id", "distance"
             ).join(F.broadcast(labs), "ref_id")
+            if not confidence:
+                return base
+            universe = sorted(
+                {l for ls in self.onn_labels["labels"] for l in ls}
+            )
+            uni = spark.createDataFrame(
+                [(l,) for l in universe], "label string"
+            )
+            return base.crossJoin(F.broadcast(uni)).select(
+                "doc_id",
+                "label",
+                F.when(
+                    F.array_contains("labels", F.col("label")),
+                    -F.col("distance"),
+                )
+                .otherwise(F.lit(float("-inf")))
+                .alias("confidence"),
+            )
+        if confidence:
+            raise ValueError(
+                "confidence output is the onn variant's shape; linear "
+                "variants already emit per-label probs"
+            )
         assert self.linking_model is not None, "predict before fit"
         return link_documents(features, self.linking_model)
 

@@ -219,3 +219,78 @@ def test_punctuated_alias_matches_via_prepare_ontology(spark, onto):
         for r in detect_mentions(docs, alias_df).collect()
     }
     assert ("dx", tid, "t-cell alpha") in got
+
+
+def test_probe_hash_equals_probe_string(spark, onto, small_world):
+    """The hash-probe plan (xxhash64 over window columns + exact
+    verify on hits) must produce exactly the string-join mentions, for
+    both gates."""
+    docs = spark.createDataFrame(small_world["documents"])
+    terms = spark.createDataFrame(onto.terms)
+    adict = alias_dictionary(terms)
+    want = {
+        tuple(r)
+        for r in detect_mentions(docs, adict, probe="string").collect()
+    }
+    assert want
+    for g in ("case", "join"):
+        got = {
+            tuple(r)
+            for r in detect_mentions(
+                docs, adict, gate=g, probe="hash"
+            ).collect()
+        }
+        assert got == want, g
+
+
+def test_large_dict_no_driver_collect_parity(spark, onto, small_world):
+    """Forcing the over-threshold path (dict_collect_threshold=0) must
+    yield mentions identical to the collect path on the same
+    dictionary, for both probes."""
+    docs = spark.createDataFrame(small_world["documents"])
+    terms = spark.createDataFrame(onto.terms)
+    adict = alias_dictionary(terms)
+    want = {tuple(r) for r in detect_mentions(docs, adict).collect()}
+    assert want
+    for p in ("hash", "string"):
+        got = {
+            tuple(r)
+            for r in detect_mentions(
+                docs, adict, probe=p, dict_collect_threshold=0
+            ).collect()
+        }
+        assert got == want, p
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-side literals"):
+        detect_mentions(docs, adict, gate="case", dict_collect_threshold=0)
+
+
+def test_million_alias_dictionary_smoke(spark):
+    """10⁶-row dictionary through the aggregation-only metadata path:
+    no driver collect of the dictionary, planted aliases found."""
+    from pyspark.sql import functions as F
+
+    adict = spark.range(1_000_000).select(
+        F.concat(F.lit("bigtok"), F.col("id"), F.lit(" marker")).alias(
+            "alias_norm"
+        ),
+        F.concat(F.lit("T:"), F.col("id")).alias("term_id"),
+    )
+    rows = [
+        (
+            "big1",
+            [
+                {
+                    "kind": "text",
+                    "text": "bigtok31337 marker next to bigtok999999 marker",
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        ),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    m = detect_mentions(docs, adict, dict_collect_threshold=500_000)
+    got = {r.term_id for r in m.collect()}
+    assert got == {"T:31337", "T:999999"}

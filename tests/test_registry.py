@@ -262,3 +262,54 @@ def test_preprocessor_chain_back_projection(spark, small_world, label_edges):
     s_manual = lm_manual.score(X_pre)
     s_folded = m.linking_model.score(X_raw)
     np.testing.assert_allclose(s_folded, s_manual, atol=1e-8)
+
+
+def test_onn_confidence_matrix_vs_numpy_oracle(
+    spark, small_world, label_edges
+):
+    """confidence=True emits the reference-shaped per-label matrix
+    (-distance on the neighbor's labels, -inf elsewhere), verified
+    against an independent numpy nearest-neighbor oracle."""
+    import numpy as np
+
+    feats, labels_long = _training_world(spark, small_world, label_edges)
+    train = feats.limit(40)
+    m = build_model("onn").fit(train, labels_long, label_edges)
+    docs = feats.select(F.col("item").alias("doc_id"), "features").limit(12)
+    out = m.predict(docs, confidence=True).toPandas()
+
+    # fresh oracle: brute-force euclidean 1-NN over the same tables
+    train_pdf = train.toPandas()
+    lab_pdf = labels_long.toPandas()
+    lab_by_item = lab_pdf.groupby("item")["label"].apply(set).to_dict()
+    ref = train_pdf[train_pdf.item.isin(lab_by_item)].reset_index(drop=True)
+    # fit keeps only labelled items; ref_id tie-break = lowest id
+    ref = ref.sort_values("item").reset_index(drop=True)
+    R = np.stack([np.asarray(v, float) for v in ref["features"]])
+    universe = sorted({l for ls in lab_by_item.values() for l in ls})
+    docs_pdf = docs.toPandas()
+    expected = {}
+    for r in docs_pdf.itertuples(index=False):
+        x = np.asarray(r.features, float)
+        d = np.sqrt(((R - x) ** 2).sum(axis=1))
+        j = int(np.argmin(d))  # numpy argmin = first min = lowest ref_id
+        nn_labels = lab_by_item[ref["item"][j]]
+        for l in universe:
+            expected[(r.doc_id, l)] = (
+                -d[j] if l in nn_labels else float("-inf")
+            )
+
+    got = {(r.doc_id, r.label): r.confidence for r in out.itertuples(index=False)}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        if v == float("-inf"):
+            assert got[k] == float("-inf"), k
+        else:
+            assert got[k] == pytest.approx(v, abs=1e-6), k
+    # shape: every doc carries the FULL universe
+    assert len(out) == len(docs_pdf) * len(universe)
+
+    with pytest.raises(ValueError, match="onn"):
+        build_model("isotonic_regression", {"n_iter": 1}).fit(
+            feats, labels_long, label_edges
+        ).predict(docs, confidence=True)
