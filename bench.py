@@ -209,6 +209,26 @@ def main() -> None:
     timings["kg_pipeline"] = kg["wall_sec"]
     timings_cold["kg_pipeline"] = kg_cold["wall_sec"]
 
+    # flagship on the REAL Cell Ontology (6,634 terms) when the
+    # reference OBO is readable — the fixture ontology can't expose
+    # real-alias-dictionary or closure-size assumptions
+    kg_real = None
+    real_obo = os.environ.get(
+        "SPARK_GRAFT_REAL_OBO",
+        "/root/reference/cello/onto_lib_py3/obo/CL.18-11-13.obo",
+    )
+    if os.path.exists(real_obo):
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import bench_real_obo
+
+        kg_real = bench_real_obo.run(
+            n_docs=n_kg_docs, n_labels=500, obo_path=real_obo, spark=spark
+        )
+        total += kg_real["wall_sec"]
+        timings["kg_real_obo"] = kg_real["wall_sec"]
+
     print(
         json.dumps(
             {
@@ -224,6 +244,7 @@ def main() -> None:
                 "py_worker_warmup_sec": py_warm_sec,
                 "kg": kg,
                 "kg_cold": kg_cold,
+                "kg_real_obo": kg_real,
             }
         )
     )

@@ -250,3 +250,190 @@ def test_kg_diff_and_degree_randomized(spark):
             assert deg[p]["max_in_degree"] == max(ind.values())
             assert deg[p]["n_subjects"] == len(outd)
             assert deg[p]["n_objects"] == len(ind)
+
+
+# -- corpus ops: randomized-parameter DuckDB parity ------------------------
+# (the fixed-parameter versions are oracle-gated in __spark_entry__;
+# these sweeps re-derive the SAME SQL with randomized parameters so
+# the parity claim covers the parameter space, not one point)
+
+_DUCK_TOKENS = (
+    "list_filter(string_split(translate(lower(text), "
+    "chr(9)||chr(10)||chr(13), '   '), ' '), t -> t != '')"
+)
+
+
+def _duck_h64(col_sql):
+    return f"cast(('0x' || substr(md5({col_sql}), 1, 15)) AS BIGINT)"
+
+
+def _rand_docs_pdf(rng, n=120, n_sources=5):
+    import pandas as pd
+
+    words = ["alpha", "beta", "gamma", "delta", "x", "longish", ""]
+    rows = []
+    for i in range(n):
+        txt = " ".join(
+            words[rng.integers(len(words))]
+            for _ in range(rng.integers(0, 40))
+        )
+        rows.append(
+            {
+                "doc_id": f"d{i:04d}",
+                "source": f"s{rng.integers(n_sources)}",
+                "text": txt,
+            }
+        )
+    # one giant stratum so the two-phase cap's hub path is exercised
+    for i in range(n, n + 60):
+        rows.append({"doc_id": f"d{i:04d}", "source": "s0", "text": "alpha"})
+    return pd.DataFrame(rows)
+
+
+def test_cap_per_stratum_randomized_duckdb(spark):
+    import duckdb
+
+    from cello_spark.operators.corpus import cap_per_stratum
+
+    rng = np.random.default_rng(411)
+    for trial in range(6):
+        pdf = _rand_docs_pdf(rng)
+        n_max = int(rng.integers(1, 25))
+        docs = spark.createDataFrame(pdf)
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in cap_per_stratum(docs, n_max, strata_col="source")
+            .select("doc_id", "source")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_duck_h64("cast(doc_id AS VARCHAR)")} ASC,
+                                doc_id ASC) AS rk
+              FROM documents) WHERE rk <= {n_max}
+            """
+                ).fetchall(),
+            )
+        )
+        assert got == want, (trial, n_max)
+
+
+def test_temperature_sample_randomized_duckdb(spark):
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from cello_spark.operators.corpus import (
+        stratified_hash_sample,
+        temperature_mixture_rates,
+    )
+
+    rng = np.random.default_rng(412)
+    for alpha, target in [(0.0, 50), (0.3, 120), (0.5, 200), (1.0, 80)]:
+        pdf = _rand_docs_pdf(rng)
+        docs = spark.createDataFrame(pdf)
+        sizes = {
+            r[0]: r[1]
+            for r in docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rates = temperature_mixture_rates(
+            sizes, alpha=alpha, target_total=target
+        )
+        rates3 = {s: math.floor(r * 1000) / 1000 for s, r in rates.items()}
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in stratified_hash_sample(docs, rates3, "source")
+            .select("doc_id", "source")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"""
+            WITH sizes AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), w AS (SELECT source, n, pow(n, {alpha}) AS w FROM sizes),
+            z AS (SELECT sum(w) AS z FROM w),
+            rates AS (
+              SELECT source, n,
+                     least(1.0, {target}.0 * (w / z.z) / n) AS rate
+              FROM w, z),
+            thr AS (
+              SELECT source,
+                     CAST(floor(rate * 1000) AS BIGINT) * 1000 AS t
+              FROM rates)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr USING (source)
+            WHERE {_duck_h64("cast(doc_id AS VARCHAR)")} % 1000000 < t
+            """
+                ).fetchall(),
+            )
+        )
+        assert got == want, (alpha, target)
+
+
+def test_chunk_documents_randomized_duckdb(spark):
+    import duckdb
+
+    from cello_spark.operators.corpus import chunk_documents
+
+    rng = np.random.default_rng(413)
+    for chunk, overlap in [(8, 0), (8, 4), (16, 15), (12, 3), (5, 1)]:
+        pdf = _rand_docs_pdf(rng, n=60)
+        stride = chunk - overlap
+        docs = spark.createDataFrame(pdf)
+        got = sorted(
+            map(
+                tuple,
+                chunk_documents(
+                    docs, chunk_tokens=chunk, overlap=overlap
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"""
+            WITH toks AS (
+              SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+            ), nz AS (
+              SELECT doc_id, t, len(t) AS L FROM toks WHERE len(t) > 0
+            ), nc AS (
+              SELECT doc_id, t, L,
+                     1 + CASE WHEN L > {chunk}
+                              THEN (L - {chunk} + {stride} - 1) // {stride}
+                              ELSE 0 END AS n
+              FROM nz
+            ), c AS (
+              SELECT doc_id, i AS chunk_idx,
+                     t[i * {stride} + 1 : i * {stride} + {chunk}] AS chunk
+              FROM nc, LATERAL (SELECT unnest(range(0, n)) AS i)
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(chunk, ' ') AS chunk_text,
+                   len(chunk) AS n_tokens
+            FROM c
+            """
+                ).fetchall(),
+            )
+        )
+        assert got == want, (chunk, overlap)

@@ -1,0 +1,123 @@
+"""Flagship KG pipeline on the REAL Cell Ontology.
+
+Synthetic fixture ontologies (~60 terms) can hide assumptions a real
+ontology breaks: alias dictionaries with thousands of multi-word
+synonyms (shared first tokens, punctuation), a 6,634-term is_a/part_of
+DAG whose closure is ~50k rows, hub terms ('cell' CL:0000000) with
+thousands of descendants, obsolete terms, cross-relation edges. This
+bench parses CL.18-11-13.obo (the ontology release the reference
+pins; parser verified against it term-for-term in round 2), generates
+a document corpus whose text embeds REAL CL names/synonyms
+(sources/fixtures.make_documents draws mention strings from the
+ontology it is given), and runs the full staged pipeline.
+
+Labels (terms with model weights) are capped at --n-labels (default
+500, sorted term order, deterministic): the reference likewise trains
+on the label subset with expression data, not all 6,634 terms; the
+MENTION/closure/canonicalization layers still see the full ontology.
+
+Usage: python tools/bench_real_obo.py [n_docs] [n_labels] [obo_path]
+Writes BENCH/real_obo.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_OBO = "/root/reference/cello/onto_lib_py3/obo/CL.18-11-13.obo"
+
+
+def run(
+    n_docs: int = 20_000,
+    n_labels: int = 500,
+    obo_path: str = DEFAULT_OBO,
+    cores: int | None = None,
+    spark=None,
+) -> dict:
+    from cello_spark.plans.kg import build_kg_pipeline
+    from cello_spark.session import get_spark
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_thresholds,
+    )
+    from cello_spark.sources.ontology import ontology_from_obo
+
+    with open(obo_path) as f:
+        text = f.read()
+    full = ontology_from_obo(text)
+    labels = sorted(full.labels)[:n_labels]
+    onto = ontology_from_obo(text, labels=labels)
+
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark(
+            app_name="bench_real_obo",
+            cores=cores or int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        )
+    t_gen0 = time.monotonic()
+    docs_pdf, feats_pdf, _ = make_documents(onto, n_docs=n_docs)
+    docs = spark.createDataFrame(docs_pdf)
+    feats = spark.createDataFrame(feats_pdf)
+    gen_sec = time.monotonic() - t_gen0
+
+    workdir = tempfile.mkdtemp(prefix="kg_real_obo_")
+    try:
+        pipe = build_kg_pipeline(
+            spark,
+            workdir,
+            docs,
+            feats,
+            onto,
+            make_model_weights(onto),
+            make_thresholds(onto),
+        )
+        t0 = time.monotonic()
+        results = pipe.run()
+        wall = time.monotonic() - t0
+        stages = {r.name: r.rows for r in results}
+        n_triples = stages["triples"]
+        # sanity: the real alias dict must actually hit the corpus
+        n_mentions = stages["mentions"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out = {
+        "obo": os.path.basename(obo_path),
+        "n_terms": len(onto.terms),
+        "n_edges": len(onto.edges),
+        "n_labels": len(labels),
+        "n_docs": n_docs,
+        "stages": stages,
+        "mentions": n_mentions,
+        "triples": n_triples,
+        "wall_sec": round(wall, 3),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "corpus_gen_sec": round(gen_sec, 3),
+    }
+    if own_spark:
+        spark.stop()
+    return out
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_labels = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    obo = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_OBO
+    out = run(n_docs=n_docs, n_labels=n_labels, obo_path=obo)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "real_obo.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
