@@ -61,14 +61,18 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-id representative of each fingerprint group.
-    Window row_number over the fingerprint — one shuffle on the
-    fingerprint (high cardinality → even distribution)."""
-    w = Window.partitionBy(fingerprint_md5(text_col)).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+
+    min-id per fingerprint as a map-side-combinable AGGREGATE + a
+    semi-join on (fingerprint, id), NOT a row_number window over the
+    fingerprint: a window sends every copy of one text to a single
+    task's sort, and exact duplicates are precisely where a hub group
+    is expected (a boilerplate page duplicated 10^8 times across a
+    crawl). The aggregate reduces each fingerprint to one row map-side
+    before any shuffle; the semi-join key (fingerprint, id) is unique
+    per row — no skew."""
+    fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
 
 
 # ---------------------------------------------------------------------------
@@ -125,10 +129,19 @@ def _cap_common_shingles(
         "%s: dropping shingles with doc-frequency > %d before the "
         "self-join (audit with shingle_df_stats)", op, max_df
     )
-    w = Window.partitionBy("shingle")
-    return sh.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
-        F.col("__df") <= max_df
-    ).drop("__df")
+    # combinable count + semi-join against the low-df shingle set —
+    # NOT a whole-partition count window: the window form buffers
+    # every row of one shingle in a single task, and the boilerplate
+    # shingles this cap exists to drop are exactly the hub groups
+    # (10^8-doc shingles). The aggregate reduces map-side; hub rows
+    # then fail the semi-join probe (AQE-splittable) and stream out.
+    low_df = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(low_df, "shingle", "left_semi")
 
 
 def shingle_df_stats(
