@@ -38,8 +38,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    write_json = "--json" in sys.argv
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(app_name="check_entry", cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -49,6 +51,7 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -57,25 +60,32 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {ex}"))
+            record[name] = {"status": "spark_error", "err": str(ex)[:300]}
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
             continue
         wall = time.monotonic() - t0
         if name not in oracles:
+            record[name] = {"status": "rows_only", "rows": len(got),
+                            "sec": round(wall, 1)}
             print(f"ok(rows-only) {name:28s} rows={len(got):7d} {wall:6.1f}s")
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {ex}"))
+            record[name] = {"status": "duckdb_error", "err": str(ex)[:300]}
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             failures.append((name, f"schema {list(g.columns)} vs {list(w.columns)}"))
+            record[name] = {"status": "schema_mismatch"}
             print(f"FAIL {name}: schema mismatch {list(g.columns)} vs {list(w.columns)}")
             continue
         if len(g) != len(w):
             failures.append((name, f"rows {len(g)} vs {len(w)}"))
+            record[name] = {"status": "rowcount_mismatch",
+                            "spark": len(g), "duck": len(w)}
             print(f"FAIL {name}: row count {len(g)} vs {len(w)}")
             continue
         if not g.equals(w):
@@ -84,10 +94,32 @@ def main() -> int:
                 [g[neq].head(3).assign(side="spark"), w[neq].head(3).assign(side="duck")]
             )
             failures.append((name, "values"))
+            record[name] = {"status": "value_mismatch",
+                            "rows_differing": int(neq.sum())}
             print(f"FAIL {name}: value mismatch ({int(neq.sum())} rows)\n{diff}")
             continue
+        record[name] = {"status": "oracle_match", "rows": len(g),
+                        "sec": round(wall, 1)}
         print(f"ok            {name:28s} rows={len(g):7d} {wall:6.1f}s")
     print(f"\n{len(failures)} failures")
+    if write_json:
+        import json
+        import os
+
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        out_path = os.path.join("/root/repo/BENCH", f"gate_{tag}.json")
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(record),
+                    "n_failures": len(failures),
+                    "queries": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
