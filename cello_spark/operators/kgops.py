@@ -251,6 +251,11 @@ def kg_random_walks(
         triples.select(F.col("subj").alias("cur"), F.col("obj").alias("nxt"))
         .dropDuplicates()
     )
+    # the index is probed by every one of the walk_len step joins;
+    # exchange reuse dedupes the identical rank subtree across them
+    # (verified: an explicit localCheckpoint changed nothing at
+    # local[32] but would forfeit lineage-based executor-loss
+    # recovery), so no materialization is forced here
     adj = per_group_sorted_index(e, ["cur"], ["nxt"], idx_col="idx")
     deg = adj.groupBy("cur").agg(F.count(F.lit(1)).alias("d"))
     frontier = (

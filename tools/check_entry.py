@@ -88,8 +88,25 @@ def main() -> int:
                             "spark": len(g), "duck": len(w)}
             print(f"FAIL {name}: row count {len(g)} vs {len(w)}")
             continue
-        if not g.equals(w):
-            neq = (g != w).any(axis=1)
+        # float columns compare with RELATIVE tolerance: a sum of 1e9
+        # carries ~1e-7 of legitimate double-summation-order drift
+        # between engines (measured 5e-16 relative on q_agg_pricing at
+        # sf0.1), which absolute 6-decimal rounding misreads as a
+        # mismatch at large SF. rtol=1e-9 is still ~7 orders tighter
+        # than any real semantic divergence.
+        neq_cols = []
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                neq_cols.append(
+                    ~np.isclose(
+                        g[c], w[c], rtol=1e-9, atol=1e-9, equal_nan=True
+                    )
+                )
+            else:
+                neq_cols.append((g[c] != w[c]).to_numpy())
+        neq_mat = np.column_stack(neq_cols) if neq_cols else np.zeros((len(g), 0), bool)
+        if neq_mat.any():
+            neq = pd.Series(neq_mat.any(axis=1), index=g.index)
             diff = pd.concat(
                 [g[neq].head(3).assign(side="spark"), w[neq].head(3).assign(side="duck")]
             )
