@@ -347,14 +347,30 @@ def detect_mentions(
                     ) + " END"
                 ),
             )
-            .select("hh", "alias_norm", "term_id")
+            .select(
+                "hh",
+                "alias_norm",
+                "term_id",
+                "al",
+                # pre-split alias tokens as top-level columns: the
+                # post-join verify compares window tokens against them
+                # directly (UTF8String byte equality) — no n-gram
+                # string is built even for HITS, so the candidate path
+                # allocates nothing per row
+                # F.get (not the [] subscript): null-safe past the
+                # alias's length under ANSI mode
+                *[F.get("p", k).alias(f"a{k}") for k in range(max_n)],
+            )
         )
+        verify = "n = al AND tok = a0 AND " + " AND ".join(
+            f"(n <= {k} OR t{k} = a{k})" for k in range(1, max_n)
+        ) if max_n > 1 else "n = al AND tok = a0"
         out = (
             cands.withColumn("hh", F.expr(hash_case))
             .join(F.broadcast(alias_h), "hh")
-            # exact verify on hash hits only: the n-gram string is
-            # built for the (tiny) hit set, making collisions harmless
-            .where(F.expr(ngram_case) == F.col("alias_norm"))
+            # exact token-wise verify on hash hits only — collisions
+            # are harmless, and no concat is ever materialized
+            .where(F.expr(verify))
             .select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
         )
     else:
