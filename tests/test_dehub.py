@@ -209,3 +209,44 @@ def test_cap_per_stratum_dehubbed_matches_naive(spark):
     )
     assert got.columns == docs.columns
     _assert_no_bare_group_window(got, allow_bounded_final=True)
+
+
+def test_per_group_sorted_index_partition_invariance(spark):
+    """The emitted rank must be identical for ANY num_partitions —
+    the range boundaries are sampled, so this is the determinism claim
+    the docstring makes, exercised across degenerate (1) and
+    row-exceeding (97) partition counts and random group shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    rows = [
+        (f"g{rng.integers(4)}", f"v{rng.integers(1000):04d}")
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        sorted(set(rows)), ["grp", "val"]
+    )
+    base = None
+    for n_parts in (1, 2, 7, 97):
+        got = sorted(
+            map(
+                tuple,
+                per_group_sorted_index(
+                    df, ["grp"], ["val"], idx_col="idx",
+                    num_partitions=n_parts,
+                ).collect(),
+            )
+        )
+        if base is None:
+            base = got
+            # ranks are dense 0..n-1 per group
+            from collections import defaultdict
+
+            per = defaultdict(list)
+            for g, v, i in got:
+                per[g].append((v, i))
+            for g, pairs in per.items():
+                pairs.sort()
+                assert [i for _, i in pairs] == list(range(len(pairs))), g
+        else:
+            assert got == base, n_parts
