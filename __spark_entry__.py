@@ -474,6 +474,47 @@ def q_one_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_onn_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: the reference-shaped OneNN per-label confidence output
+    (one_nn.py:60-152: -distance on the 1-NN's labels), driven through
+    the registry onn variant's predict(confidence=True). The gate
+    keeps the finite rows (the -inf complement is pure shape, pinned
+    by pytest against a numpy oracle)."""
+    from cello_spark.plans.registry import build_model
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("item"),
+        F.col("embedding").alias("features"),
+    )
+    labels_long = spark.createDataFrame(
+        [(str(i), f"L{i % 3}") for i in range(5)], "item string, label string"
+    )
+    m = build_model("onn").fit(feats, labels_long, [])
+    docs = emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("embedding").alias("features"),
+    )
+    out = m.predict(docs, confidence=True)
+    return out.filter(F.col("confidence") != F.lit(float("-inf"))).select(
+        "doc_id", "label", _r6(F.col("confidence")).alias("confidence")
+    )
+
+
+def q_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The de-hubbed distributed per-group sorted rank
+    (partitioning.per_group_sorted_index): rank of every document
+    within its source, doc_id order — exactly row_number() over
+    (PARTITION BY source ORDER BY doc_id) - 1, computed without a
+    single-task hub sort."""
+    from cello_spark.partitioning import per_group_sorted_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_sorted_index(
+        docs, ["source"], ["doc_id"], idx_col="rank_idx"
+    ).select("doc_id", "source", "rank_idx")
+
+
 def q_positive_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO1: items positive for a label = carry it or any descendant
     (labels = partkeys under the division DAG, items = orders)."""
@@ -1778,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spanning_subgraph": q_spanning_subgraph,
         "q_clr_marginals": q_clr_marginals,
         "q_one_nn": q_one_nn,
+        "q_onn_confidence": q_onn_confidence,
+        "q_group_rank": q_group_rank,
         "q_positive_examples": q_positive_examples,
         "q_normalize_counts": q_normalize_counts,
         "q_binarize": q_binarize,
@@ -2442,6 +2485,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, ref_id, round(d, 6) AS distance
             FROM ranked WHERE rn = 1
+        """,
+        "q_onn_confidence": """
+            WITH ref AS (
+              SELECT vec_id AS ref_id, embedding,
+                     'L' || CAST(vec_id % 3 AS VARCHAR) AS label
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT e.vec_id, r.ref_id, r.label,
+                     list_distance(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(r.embedding AS DOUBLE[])) AS d
+              FROM embeddings e CROSS JOIN ref r
+            ), ranked AS (
+              SELECT vec_id, ref_id, label, d,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC,
+                                          CAST(ref_id AS VARCHAR) ASC) AS rn
+              FROM scored
+            )
+            SELECT CAST(vec_id AS VARCHAR) AS doc_id, label,
+                   round(-d, 6) AS confidence
+            FROM ranked WHERE rn = 1
+        """,
+        "q_group_rank": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY doc_id) - 1 AS INT)
+                   AS rank_idx
+            FROM documents
         """,
         "q_positive_examples": """
             WITH RECURSIVE edges AS (
