@@ -146,3 +146,48 @@ def test_python_eval_detection_covers_apply_in_pandas(spark):
         .applyInPandas(ident, "k long, id long")
     )
     assert plan_stats(df)["has_python_eval"]
+
+
+def test_mention_hash_probe_stays_jvm_side(spark, onto):
+    """The hash-probe mention plan must stay entirely JVM-side (no
+    Python eval nodes) with the dictionary broadcast — the document
+    side's whole-stage-codegen claim."""
+    from cello_spark.operators.mentions import detect_mentions
+    from cello_spark.plans.kg import prepare_ontology
+    from cello_spark.sources.fixtures import make_documents
+
+    prep = prepare_ontology(onto)
+    alias_df = spark.createDataFrame(prep["alias_dict"])
+    docs_pdf, _, _ = make_documents(onto, n_docs=50)
+    m = detect_mentions(
+        spark.createDataFrame(docs_pdf), alias_df, probe="hash"
+    )
+    stats = plan_stats(m)
+    assert not stats["has_python_eval"]
+    assert stats["broadcast_hash_joins"] >= 1
+    assert stats["sort_merge_joins"] == 0
+
+
+def test_hdf5_distributed_is_python_map_over_binary_scan(spark, tmp_path):
+    """read_hdf5_distributed's plan: a binaryFile scan feeding
+    MapInPandas — the per-file decode is the ONLY Python node."""
+    import json
+
+    from cello_spark.sources.expression import read_hdf5_distributed
+
+    (tmp_path / "a.h5").write_text(
+        json.dumps({"cells": ["c1"], "genes": ["g"], "x": [[1.0]]})
+    )
+
+    def dec(buf):
+        import json as j
+
+        import numpy as np
+
+        d = j.loads(buf.decode())
+        return d["cells"], d["genes"], np.asarray(d["x"], float)
+
+    out = read_hdf5_distributed(spark, str(tmp_path / "*.h5"), decoder=dec)
+    stats = plan_stats(out)
+    assert stats["has_python_eval"]
+    assert "MapInPandas" in stats["plan"]
