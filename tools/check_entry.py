@@ -25,6 +25,27 @@ TABLES = [
 ]
 
 
+def canon_exact(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonical form: columns sorted by name, floats
+    rounded to 6 decimals and stringified WITHOUT normalizing the sign
+    of zero (the driver's value hash distinguishes -0.0 from 0.0 —
+    this is exactly how the r3 q_onn_confidence red escaped the rtol
+    gate), everything else stringified, rows sorted on the string
+    form. Two frames with equal canon_exact forms hash equal under the
+    driver; unequal forms are a driver red."""
+    out = {}
+    for c in sorted(df.columns):
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            out[c] = col.astype(np.float64).round(6).map(repr)
+        else:
+            out[c] = col.astype(str)
+    sdf = pd.DataFrame(out)
+    return sdf.sort_values(list(sdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -114,6 +135,24 @@ def main() -> int:
             record[name] = {"status": "value_mismatch",
                             "rows_differing": int(neq.sum())}
             print(f"FAIL {name}: value mismatch ({int(neq.sum())} rows)\n{diff}")
+            continue
+        # second gate: driver-faithful exact-string hash (catches
+        # sign-of-zero and any rounding-boundary divergence the rtol
+        # compare forgives but the driver's hash does not)
+        ge, we = canon_exact(got), canon_exact(want)
+        if not ge.equals(we):
+            neq = (ge != we).any(axis=1)
+            diff = pd.concat(
+                [ge[neq].head(3).assign(side="spark"),
+                 we[neq].head(3).assign(side="duck")]
+            )
+            failures.append((name, "exact-hash"))
+            record[name] = {"status": "exact_hash_mismatch",
+                            "rows_differing": int(neq.sum())}
+            print(
+                f"FAIL {name}: rtol-equal but exact-hash mismatch "
+                f"({int(neq.sum())} rows)\n{diff}"
+            )
             continue
         record[name] = {"status": "oracle_match", "rows": len(g),
                         "sec": round(wall, 1)}
