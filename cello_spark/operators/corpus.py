@@ -415,6 +415,7 @@ def cap_per_stratum(
     strata_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "",
+    hub_rows: int = 262_144,
 ) -> DataFrame:
     """Deterministic per-stratum cap: keep at most n_max rows per
     stratum — the "limit pages per domain" rule web-corpus pipelines
@@ -448,6 +449,7 @@ def cap_per_stratum(
             ["__h", id_col],
             n_max,
             bucket_key=id_col,
+            hub_rows=hub_rows,
         )
         .drop("__h")
     )

@@ -42,6 +42,9 @@ def per_group_sorted_index(
     order_cols: list[str],
     idx_col: str = "idx",
     num_partitions: int | None = None,
+    materialize: bool = True,
+    probe_skew: bool = True,
+    hub_rows: int = 262_144,
 ) -> DataFrame:
     """0-based rank of each row in its group's (order_cols)-sorted
     order, computed WITHOUT a per-group single-task window sort.
@@ -72,13 +75,57 @@ def per_group_sorted_index(
     range-partition size, never a hub key. order_cols must be a total
     order within each group (callers dedupe first); ties across rows
     would make ranks partition-dependent.
+
+    `part` (the ranged data + its partition ids) feeds BOTH the local
+    ranks and the per-partition counts. __rpid comes from sampled
+    range boundaries, so the two consumers MUST observe the same
+    physical partitioning — relying on Catalyst exchange reuse for
+    that is a silent-wrong-answer hazard (reuse can be disabled via
+    spark.sql.exchange.reuse, or the subtrees can stop canonicalizing
+    identically). `materialize=True` (default) pins it with an eager
+    localCheckpoint: __rpid is then a property of stored blocks, not
+    of a re-runnable sample. The checkpoint also computes the ranged
+    data ONCE for consumers that probe the result repeatedly
+    (kg_random_walks probes it walk_len times). Cost: executor
+    block-storage of one copy of df and loss of lineage-based
+    recovery for those blocks (an executor loss fails-and-retries the
+    job instead of recomputing the partition) — the right trade for a
+    correctness dependency. The offsets join uses null-safe equality
+    on the group columns so NULL group keys rank as their own group,
+    exactly like the row_number window this replaces.
+    With `probe_skew=True` (default) a one-pass map-side-combinable
+    aggregate first measures the largest group; when no group exceeds
+    `hub_rows` (an absolute single-task-sort bound — deliberately NOT
+    relative to input size, which would re-admit giant groups on
+    giant inputs) the plain `row_number` window is used instead — a
+    single shuffle, no
+    checkpoint, and a per-task sort bounded by the probed maximum.
+    The de-hubbed machinery only engages when a hub group actually
+    exists, so small/even inputs pay the cheap plan and skewed inputs
+    the safe one. The probe is one count-aggregate job (rows = one
+    per group, combined map-side); pass probe_skew=False to force the
+    de-hubbed path (plan tests do).
     """
     spark = df.sparkSession
     n = num_partitions or max(spark.sparkContext.defaultParallelism, 1)
     cols = [*group_cols, *order_cols]
+    if probe_skew:
+        mx = (
+            df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+        ) or 0
+        if mx <= hub_rows:
+            w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+            return df.withColumn(
+                idx_col, (F.row_number().over(w) - 1).cast("int")
+            )
     part = df.repartitionByRange(n, *cols).withColumn(
         "__rpid", F.spark_partition_id()
     )
+    if materialize:
+        part = part.localCheckpoint(eager=True)
     w_local = Window.partitionBy("__rpid", *group_cols).orderBy(*order_cols)
     local = part.withColumn("__lrn", F.row_number().over(w_local))
     counts = part.groupBy("__rpid", *group_cols).agg(
@@ -89,15 +136,19 @@ def per_group_sorted_index(
         .orderBy("__rpid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    gals = [f"__g{i}" for i in range(len(group_cols))]
     offsets = counts.select(
-        "__rpid",
-        *group_cols,
+        F.col("__rpid").alias("__orpid"),
+        *[F.col(c).alias(g) for c, g in zip(group_cols, gals)],
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
+    cond = local["__rpid"] == offsets["__orpid"]
+    for c, g in zip(group_cols, gals):
+        cond = cond & local[c].eqNullSafe(offsets[g])
     return (
-        local.join(offsets, ["__rpid", *group_cols])
+        local.join(offsets, cond)
         .withColumn(idx_col, (F.col("__off") + F.col("__lrn") - 1).cast("int"))
-        .drop("__rpid", "__lrn", "__off")
+        .drop("__rpid", "__orpid", "__lrn", "__off", *gals)
     )
 
 
@@ -108,6 +159,8 @@ def capped_per_group(
     n_max: int,
     n_buckets: int = 64,
     bucket_key: str | None = None,
+    probe_skew: bool = True,
+    hub_rows: int = 262_144,
 ) -> DataFrame:
     """Keep the first n_max rows per group in (order_cols) order — the
     distributed two-phase top-k that replaces a single
@@ -125,9 +178,30 @@ def capped_per_group(
 
     bucket_key defaults to the first order column; pass an id column
     when order_cols start with a computed expression's column.
+
+    As in per_group_sorted_index, `probe_skew=True` (default) first
+    measures the largest group with one map-side-combinable
+    aggregate; when no group exceeds hub_rows the single-window form
+    runs directly (Spark's WindowGroupLimit pushes the rank filter
+    below the sort, so the probed-bounded group never fully sorts in
+    one task). Skewed inputs take the two-phase path.
     """
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
+    if probe_skew:
+        mx = (
+            df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+        ) or 0
+        if mx <= hub_rows:
+            w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+            return (
+                df.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n_max)
+                .drop("__rk")
+            )
     key = bucket_key or order_cols[0]
     bucketed = df.withColumn(
         "__bkt", F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))

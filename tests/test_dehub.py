@@ -69,7 +69,8 @@ def test_per_group_sorted_index_matches_naive_window(spark):
         "pred", F.col("obj").alias("ent")
     ).dropDuplicates()
     got = per_group_sorted_index(
-        df, ["pred"], ["ent"], idx_col="idx", num_partitions=7
+        df, ["pred"], ["ent"], idx_col="idx", num_partitions=7,
+        probe_skew=False,
     )
     naive = df.withColumn(
         "idx",
@@ -81,12 +82,34 @@ def test_per_group_sorted_index_matches_naive_window(spark):
     _assert_no_bare_group_window(got)
 
 
+def test_per_group_sorted_index_null_group_keys(spark):
+    # NULL group keys must rank as their own group (window semantics),
+    # not be dropped by the offsets join (ADVICE r3: null-unsafe join)
+    rows = [(None, f"e{i}") for i in range(9)] + [
+        ("p", f"e{i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "pred string, ent string")
+    got = per_group_sorted_index(
+        df, ["pred"], ["ent"], idx_col="idx", num_partitions=5,
+        probe_skew=False,
+    )
+    naive = df.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("pred").orderBy("ent")) - 1,
+    )
+    assert sorted(
+        map(tuple, got.fillna("~null~").collect())
+    ) == sorted(map(tuple, naive.fillna("~null~").collect()))
+
+
 def test_capped_per_group_matches_naive_window(spark):
     rows = [("hub", f"d{i:04d}") for i in range(500)] + [
         ("tiny", f"t{i}") for i in range(5)
     ]
     df = spark.createDataFrame(rows, ["stratum", "doc_id"])
-    got = capped_per_group(df, ["stratum"], ["doc_id"], n_max=7, n_buckets=4)
+    got = capped_per_group(
+        df, ["stratum"], ["doc_id"], n_max=7, n_buckets=4, probe_skew=False
+    )
     naive = (
         df.withColumn(
             "rk",
@@ -105,7 +128,7 @@ def test_capped_per_group_matches_naive_window(spark):
 
 def test_kg_negative_samples_dehubbed_semantics_and_plan(spark):
     t = _hub_triples(spark)
-    neg = kg_negative_samples(t, k=2, seed=7)
+    neg = kg_negative_samples(t, k=2, seed=7, hub_rows=10)
     # inline naive-domain re-derivation: same md5 draw over the
     # single-window sorted per-pred domain
     dom = (
@@ -167,9 +190,11 @@ def test_kg_random_walks_dehubbed_plan_and_determinism(spark):
     rows = [("hub", "linksto", f"n{i}") for i in range(300)]
     rows += [(f"n{i}", "linksto", f"n{i+1}") for i in range(40)]
     t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
-    w1 = kg_random_walks(t, walk_len=3, walks_per_node=2, seed=11)
+    w1 = kg_random_walks(t, walk_len=3, walks_per_node=2, seed=11,
+                         hub_rows=10)
     w2 = kg_random_walks(
-        t.repartition(13), walk_len=3, walks_per_node=2, seed=11
+        t.repartition(13), walk_len=3, walks_per_node=2, seed=11,
+        hub_rows=10,
     )
     r1 = sorted(map(tuple, w1.collect()))
     assert r1 == sorted(map(tuple, w2.collect()))
@@ -188,7 +213,7 @@ def test_cap_per_stratum_dehubbed_matches_naive(spark):
         ("small.org", f"s{i}") for i in range(9)
     ]
     docs = spark.createDataFrame(rows, ["source", "doc_id"])
-    got = cap_per_stratum(docs, n_max=11)
+    got = cap_per_stratum(docs, n_max=11, hub_rows=10)
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
@@ -233,7 +258,7 @@ def test_per_group_sorted_index_partition_invariance(spark):
                 tuple,
                 per_group_sorted_index(
                     df, ["grp"], ["val"], idx_col="idx",
-                    num_partitions=n_parts,
+                    num_partitions=n_parts, probe_skew=False,
                 ).collect(),
             )
         )
@@ -250,3 +275,43 @@ def test_per_group_sorted_index_partition_invariance(spark):
                 assert [i for _, i in pairs] == list(range(len(pairs))), g
         else:
             assert got == base, n_parts
+
+
+def test_skew_probe_picks_plain_window_when_even(spark):
+    """Default probe: an input with no hub group gets the single
+    row_number window (one shuffle, no __rpid machinery) and the exact
+    same ranks; a hub input (hub_rows forced low) gets the de-hubbed
+    plan. Same contract for capped_per_group."""
+    rows = [(f"g{i % 8}", f"v{i:04d}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    got = per_group_sorted_index(df, ["grp"], ["val"], idx_col="idx")
+    plan = got._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "__rpid" not in plan, "probe should have chosen the plain window"
+    naive = df.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("grp").orderBy("val")) - 1,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    forced = per_group_sorted_index(
+        df, ["grp"], ["val"], idx_col="idx", hub_rows=10
+    )
+    _assert_no_bare_group_window(forced)
+    assert sorted(map(tuple, forced.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    capped = capped_per_group(df, ["grp"], ["val"], n_max=3)
+    cplan = capped._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "__bkt" not in cplan, "probe should have skipped the salt phase"
+    naive_cap = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("grp").orderBy("val")),
+        )
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, naive_cap.collect())
+    )
