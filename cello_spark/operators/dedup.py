@@ -42,20 +42,50 @@ DEFAULT_MAX_SHINGLE_DF = 5000
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids: int = 100,
+) -> DataFrame:
     """Groups of byte-identical (normalized) docs: returns
-    (fingerprint, n_dups, keep_id, dup_ids) for groups of size > 1."""
+    (fingerprint, n_dups, keep_id, dup_ids, n_ids_omitted) for groups
+    of size > 1. dup_ids holds the id-order-first `max_ids` member ids
+    — an explicit cap, never the whole group: a boilerplate page
+    duplicated 10^8 times across a crawl would otherwise put 10^8 ids
+    in ONE array/row (the unbounded-collect_list hazard). The capped
+    membership comes from partitioning.capped_per_group (two-phase
+    top-k when the group is hub-sized), so no task ever aggregates
+    more than max_ids ids per fingerprint; n_ids_omitted says what the
+    cap dropped. Pass max_ids=None only on inputs known small."""
     fp = df.select(
         F.col(id_col).alias("doc_id"), fingerprint_md5(text_col).alias("fingerprint")
     )
-    return (
+    groups = (
         fp.groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min("doc_id").alias("keep_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("dup_ids"),
         )
         .filter(F.col("n_dups") > 1)
+    )
+    if max_ids is None:
+        members = fp
+    else:
+        from cello_spark.partitioning import capped_per_group
+
+        members = capped_per_group(
+            fp, ["fingerprint"], ["doc_id"], n_max=max_ids
+        )
+    ids = members.groupBy("fingerprint").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("dup_ids")
+    )
+    return groups.join(ids, "fingerprint").select(
+        "fingerprint",
+        "n_dups",
+        "keep_id",
+        "dup_ids",
+        (F.col("n_dups") - F.size("dup_ids")).cast("int").alias("n_ids_omitted"),
     )
 
 
@@ -69,7 +99,12 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     is expected (a boilerplate page duplicated 10^8 times across a
     crawl). The aggregate reduces each fingerprint to one row map-side
     before any shuffle; the semi-join key (fingerprint, id) is unique
-    per row — no skew."""
+    per row — no skew.
+
+    Precondition: id_col must be unique per row. With duplicate ids
+    the semi-join keeps EVERY row matching (fingerprint, min_id),
+    where the row_number formulation this replaces kept exactly one —
+    dedupe ids upstream if the input can carry duplicates."""
     fp = df.withColumn("__fp", fingerprint_md5(text_col))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp")

@@ -164,12 +164,17 @@ def detect_mentions(
              it (the reference formulation; kept for A/B measurement
              and as the oracle-shaped plan).
 
-    Dictionaries larger than `dict_collect_threshold` rows never touch
-    the driver: max_n and the first-token gate table are computed with
-    small Spark aggregations instead of a collect (gate is forced to
-    "join"; "case" would need driver-side literals). Below the
-    threshold the dictionary is collected once — dict-sized data, and
-    the CASE/IN gate needs the literals anyway.
+    For dictionaries larger than `dict_collect_threshold` rows, no
+    COLLECT touches the driver: max_n and the first-token gate table
+    are computed with small Spark aggregations (gate is forced to
+    "join"; "case" would need driver-side literals), and the
+    dictionary-side joins drop the broadcast hint — a broadcast would
+    itself collect the dictionary to the driver and ship it to every
+    executor (driver memory + the 8 GB broadcast limit), so past the
+    threshold the probe joins are left to AQE, which broadcasts iff
+    the built side is actually small and otherwise runs a shuffled
+    hash join. Below the threshold the dictionary is collected once —
+    dict-sized data, and the CASE/IN gate needs the literals anyway.
     """
     spark = documents.sparkSession
     # empty-dictionary returns must carry the SAME schema the populated
@@ -226,6 +231,17 @@ def detect_mentions(
             return spark.createDataFrame([], empty_schema)
         if gate == "auto":
             gate = "case" if len(ft_lengths) <= MAX_CASE_GATE_TOKENS else "join"
+
+    # dictionary-side join strategy: explicit broadcast only while the
+    # dictionary is known driver/executor-memory safe; past the
+    # threshold AQE picks (shuffled hash join unless it measures the
+    # built side small)
+    if n_aliases > dict_collect_threshold:
+        def _dict_side(d):
+            return d
+    else:
+        def _dict_side(d):
+            return F.broadcast(d)
 
     toks = text_spans(documents).select(
         "doc_id",
@@ -306,7 +322,7 @@ def detect_mentions(
                 "tok string, ns array<int>",
             )
         # inner broadcast join IS the gate: non-starting positions drop
-        gated = tokpos.join(F.broadcast(gate_df), "tok")
+        gated = tokpos.join(_dict_side(gate_df), "tok")
     else:
         raise ValueError(f"unknown gate {gate!r}")
     # explode the small exact-length array, then a TOP-LEVEL bound
@@ -367,7 +383,7 @@ def detect_mentions(
         ) if max_n > 1 else "n = al AND tok = a0"
         out = (
             cands.withColumn("hh", F.expr(hash_case))
-            .join(F.broadcast(alias_h), "hh")
+            .join(_dict_side(alias_h), "hh")
             # exact token-wise verify on hash hits only — collisions
             # are harmless, and no concat is ever materialized
             .where(F.expr(verify))
@@ -381,7 +397,7 @@ def detect_mentions(
             F.expr(ngram_case).alias("ngram"),
         )
         out = strung.join(
-            F.broadcast(alias_dict),
+            _dict_side(alias_dict),
             strung.ngram == alias_dict.alias_norm,
         ).select("doc_id", "span_idx", "offset", "alias_norm", "term_id")
     if not distinct:

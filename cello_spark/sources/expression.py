@@ -491,13 +491,21 @@ def select_hvg(
     stats = stats.withColumn(
         "dispersion", F.coalesce(disp, F.lit(0.0))
     )
-    w = Window.orderBy(F.desc("dispersion"), F.asc("gene_id"))
-    return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n_top)
-        .drop("rank")
-        .orderBy("gene_id")
-    )
+    # global top-n_top over the gene dim without a bare global window
+    # (capped_per_group with a constant group key: phase 1 pre-caps in
+    # hash buckets, the final rank only sees <= n_buckets * n_top
+    # survivors — parameter-bounded, not data-bounded)
+    from cello_spark.partitioning import capped_per_group
+
+    top = capped_per_group(
+        stats.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.desc("dispersion"), F.asc("gene_id")],
+        n_max=n_top,
+        bucket_key="gene_id",
+        probe_skew=False,
+    ).drop("__g")
+    return top.orderBy("gene_id")
 
 
 def check_compatibility(

@@ -24,6 +24,7 @@ are never mutated — mentions are an additive side table keyed by
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -56,7 +57,19 @@ def stream_documents(
     if schema is None:
         try:
             schema = spark.read.parquet(input_dir).schema
-        except Exception:
+        except AnalysisException as ex:
+            # ONLY the empty/missing-directory case falls back; any
+            # other read failure (corrupt footer, permissions) must
+            # surface at setup, not be deferred into the running
+            # stream with a guessed schema
+            msg = str(ex)
+            if not (
+                "PATH_NOT_FOUND" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+                or "Path does not exist" in msg
+            ):
+                raise
             schema = DOCUMENT_SCHEMA
     return (
         spark.readStream.schema(schema)

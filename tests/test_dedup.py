@@ -46,8 +46,32 @@ def test_exact_duplicates(spark, docs):
     groups = D.exact_duplicates(docs).collect()
     got = {tuple(g.dup_ids) for g in groups}
     assert got == {(1, 2), (4, 5)}  # normalization folds case/whitespace
+    assert all(g.n_ids_omitted == 0 for g in groups)
     kept = D.dedup_exact(docs)
     assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 6, 7}
+
+
+def test_exact_duplicates_hub_fingerprint_capped(spark):
+    """A fingerprint group with 50k copies must NOT materialize a 50k
+    array row: dup_ids is capped at max_ids with an explicit omitted
+    count (a truly hub-sized group additionally routes the membership
+    cap through the two-phase top-k per the skew probe)."""
+    n = 50_000
+    hub = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate page").alias("text")
+    )
+    other = spark.createDataFrame(
+        [(n + 1, "unique a"), (n + 2, "unique b")], "doc_id long, text string"
+    )
+    out = D.exact_duplicates(hub.unionByName(other), max_ids=7).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_dups == n
+    assert g.keep_id == 0
+    assert len(g.dup_ids) == 7
+    assert g.n_ids_omitted == n - 7
+    assert sorted(g.dup_ids) == list(g.dup_ids)
+    assert set(g.dup_ids) <= set(range(n))
 
 
 def test_ngram_jaccard_pairs(spark, docs):
