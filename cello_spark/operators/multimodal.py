@@ -2,12 +2,13 @@
 
 Media travel as opaque `binary` columns with typed metadata structs;
 all per-item compute is Arrow-batched (`mapInPandas`), partitioned by
-doc so media for one document co-locate. The actual codec work (PIL /
-ffmpeg / torchaudio) is NOT available in this container, so the decode
-kernel is stubbed behind `decoder=` — `fake_decoder` (deterministic,
-hash-seeded) keeps the full Spark plumbing (schema, batching,
-partitioning, UDF signatures) real and testable; passing a real
-decoder is the only change needed in production.
+doc so media for one document co-locate. The decode kernel is
+pluggable via `decoder=`: `real_decoder` uses PIL when installed and
+otherwise a dependency-free builtin image decode (PNG 8-bit
+gray/RGB/RGBA + binary PPM/PGM, stdlib zlib only), so real image
+bytes decode even in codec-less containers; audio/video kinds still
+require ffmpeg/torchaudio and raise with guidance. `fake_decoder`
+(deterministic, hash-seeded) remains for hermetic plumbing tests.
 
 Operators:
 - media_table_schema / attach_media : typed media rows from documents
@@ -76,12 +77,128 @@ FEATURES_SCHEMA = T.StructType(
 Decoder = Callable[[bytes, str], np.ndarray]
 
 
+def _decode_png(content: bytes) -> np.ndarray:
+    """Minimal PNG decode with only stdlib zlib: 8-bit grayscale /
+    RGB / RGBA, non-interlaced, all five scanline filters. Covers the
+    PNGs a data pipeline's thumbnails/figures actually are; anything
+    else (16-bit, palette, interlace) raises for the PIL path or an
+    explicit error."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"builtin PNG decode supports 8-bit gray/RGB/RGBA "
+                    f"non-interlaced; got depth={depth} color={color} "
+                    f"interlace={interlace} (install PIL for full coverage)"
+                )
+            nch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * nch
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            line += prev
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-scan
+            rec = line.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = int(prev[x])
+                if ft == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ft == 3:
+                    rec[x] = (rec[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(height, width, nch)
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5), 8-bit."""
+    fields: list[bytes] = []
+    pos = 0
+    while len(fields) < 4 and pos < len(content):
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(content[start:pos])
+    magic, w, h, maxv = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
+    if magic not in (b"P5", b"P6") or maxv != 255:
+        raise NotImplementedError(f"unsupported netpbm {magic!r}/{maxv}")
+    nch = 3 if magic == b"P6" else 1
+    pix = np.frombuffer(content, np.uint8, count=w * h * nch, offset=pos + 1)
+    return pix.reshape(h, w, nch).copy()
+
+
 def real_decoder(content: bytes, kind: str) -> np.ndarray:
-    """Production decode hook (PIL/ffmpeg). Not available in this
-    container — deliberately unimplemented."""
+    """Production decode hook. Tries PIL when installed (full format
+    coverage); otherwise falls back to the dependency-free builtin
+    decoders (PNG 8-bit gray/RGB/RGBA, binary PPM/PGM). Audio/video
+    codecs (ffmpeg/torchaudio) are genuinely unavailable without
+    external tools — those kinds raise with guidance."""
+    if kind not in ("image", "table"):
+        raise NotImplementedError(
+            f"decoding kind={kind!r} needs ffmpeg/torchaudio; install one "
+            "and pass a decoder wrapping it, or use fake_decoder for "
+            "plumbing tests"
+        )
+    try:
+        from PIL import Image  # noqa: PLC0415
+        import io  # noqa: PLC0415
+
+        arr = np.asarray(Image.open(io.BytesIO(content)))
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    except ImportError:
+        pass
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
+    if content[:2] in (b"P5", b"P6"):
+        return _decode_ppm(content)
     raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "pass decoder=fake_decoder or a real PIL/ffmpeg-backed decoder"
+        "no codec for this payload: PIL is not installed and the content "
+        "is not PNG/PPM (the builtin formats); install pillow or pass a "
+        "custom decoder"
     )
 
 
