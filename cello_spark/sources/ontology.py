@@ -394,3 +394,68 @@ def ontology_from_obo(
     return Ontology(
         terms=terms, edges=edges, patch_edges=patch, labels=list(labels)
     )
+
+
+def ontology_from_obos(
+    texts: list[str],
+    labels: list[str] | None = None,
+    include_obsolete: bool = True,
+    id_spaces: list[str] | None = None,
+):
+    """Multi-OBO production adapter: several OBO files → ONE merged
+    driver-side `Ontology` bundle, with the same union rules as the
+    Spark-side `obo_to_dataframes` (reference parse_obos,
+    ontology_graph.py:344-387): later files win on duplicate term ids
+    — including the winning file's EDGES (a superseded definition's
+    relationships don't leak) — and edges whose src or dst is not
+    defined anywhere in the union are dropped. `id_spaces` optionally
+    restricts the merged terms by id prefix (reference
+    ontology_graph.py:571-581; config "17"-style multi-project loads
+    list the id spaces to keep), re-dropping edges that dangle after
+    the restriction."""
+    import pandas as pd
+
+    from cello_spark.sources.fixtures import Ontology
+
+    all_terms: dict[str, dict] = {}
+    term_file: dict[str, int] = {}
+    edges_by_file: list[list[dict]] = []
+    for fi, text in enumerate(texts):
+        t_rows, e_rows = parse_obo_text(text, include_obsolete)
+        for r in t_rows:
+            all_terms[r["term_id"]] = r
+            term_file[r["term_id"]] = fi
+        edges_by_file.append(e_rows)
+    edge_rows = [
+        e
+        for fi, rows in enumerate(edges_by_file)
+        for e in rows
+        if term_file.get(e["src"]) == fi
+    ]
+    terms = pd.DataFrame(
+        list(all_terms.values()),
+        columns=[
+            "term_id", "name", "definition", "synonyms", "xrefs",
+            "is_obsolete",
+        ],
+    )
+    if id_spaces is not None:
+        terms = terms[
+            terms.term_id.str.split(":").str[0].isin(id_spaces)
+        ].reset_index(drop=True)
+    ids = set(terms.term_id)
+    edges = pd.DataFrame(edge_rows, columns=["src", "dst", "rel"])
+    if len(edges):
+        edges = edges[
+            edges.src.isin(ids) & edges.dst.isin(ids)
+        ].drop_duplicates().reset_index(drop=True)
+    patch = edges.iloc[0:0].copy()
+    if labels is None:
+        labels = (
+            sorted(terms[~terms.is_obsolete.astype(bool)].term_id)
+            if len(terms)
+            else []
+        )
+    return Ontology(
+        terms=terms, edges=edges, patch_edges=patch, labels=list(labels)
+    )

@@ -219,3 +219,48 @@ def test_enrich_synonyms_null_synonyms_column(spark):
     assert [(s.syn_str, s.syn_type) for s in out.synonyms] == [
         ("niner", "ENRICHED")
     ]
+
+
+def test_ontology_from_obos_merge_rules():
+    """Driver-side multi-OBO adapter mirrors obo_to_dataframes: later
+    files win term AND edge definitions, dangling edges drop, and
+    id_spaces restriction re-drops newly dangling edges."""
+    from cello_spark.sources.ontology import ontology_from_obos
+
+    f1 = """[Term]
+id: CS:1
+name: one v1
+is_a: CS:A
+
+[Term]
+id: CS:A
+name: a
+
+[Term]
+id: UO:7
+name: unit seven
+is_a: CS:A
+"""
+    f2 = """[Term]
+id: CS:1
+name: one v2
+is_a: CS:B
+
+[Term]
+id: CS:B
+name: b
+is_a: CS:MISSING
+"""
+    onto = ontology_from_obos([f1, f2])
+    names = dict(zip(onto.terms.term_id, onto.terms.name))
+    assert names["CS:1"] == "one v2"  # later file wins
+    got = {(r.src, r.dst) for r in onto.edges.itertuples(index=False)}
+    assert ("CS:1", "CS:B") in got and ("CS:1", "CS:A") not in got
+    assert ("CS:B", "CS:MISSING") not in got  # dangling dropped
+    assert ("UO:7", "CS:A") in got  # cross-id-space edge survives
+    # id-space restrict: UO-only keeps UO terms, drops the now-dangling
+    # cross-space edge
+    uo = ontology_from_obos([f1, f2], id_spaces=["UO"])
+    assert set(uo.terms.term_id) == {"UO:7"}
+    assert len(uo.edges) == 0
+    assert uo.labels == ["UO:7"]
