@@ -37,6 +37,21 @@ _log = logging.getLogger(__name__)
 DEFAULT_MAX_SHINGLE_DF = 5000
 
 
+def _pin(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Materialize a multiply-consumed intermediate with an eager
+    localCheckpoint. The capped shingle table (and the signature table
+    in the minhash family) feeds the pair join (twice, l/r), the
+    set-size aggregates, and the verify join — without pinning, each
+    consumer re-runs tokenize -> explode -> dedup -> df-cap join.
+    Measured at sf0.1: minhash_lsh_pairs warm 7.3s -> 4.9s, cold
+    18.2s -> 6.9s. At cluster scale this stores ONE copy of data the
+    plan otherwise recomputes 3-4x — the standard persist-the-index
+    trade; pass materialize=False on the operators to restore
+    pure-lineage plans (e.g. when executor storage is the scarcer
+    resource)."""
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -250,6 +265,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    materialize: bool = True,
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard ≥ threshold.
     Plan: inverted index self-join on shingle → common counts →
@@ -259,8 +275,12 @@ def ngram_jaccard_pairs(
     dropped from BOTH the index and the set sizes, so the reported
     jaccard is over the capped shingle sets (consistent, auditable via
     shingle_df_stats)."""
-    sh = _cap_common_shingles(
-        shingles(df, id_col, text_col, n), max_shingle_df, op="ngram_jaccard_pairs"
+    sh = _pin(
+        _cap_common_shingles(
+            shingles(df, id_col, text_col, n), max_shingle_df,
+            op="ngram_jaccard_pairs",
+        ),
+        materialize,
     )
     # probe side spread across task slots: pair enumeration explodes
     # |bucket|² rows, which must not run in one coalesced partition
@@ -416,6 +436,7 @@ def minhash_lsh_pairs(
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     seed: int = 42,
     hash_strategy: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH. Candidate pairs = docs
     sharing any band hash; with verify=True candidates are checked with
@@ -427,11 +448,18 @@ def minhash_lsh_pairs(
     hashes, immune to content skew."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = _cap_common_shingles(
-        shingles(df, id_col, text_col, n), max_shingle_df, op="minhash_lsh_pairs"
+    sh = _pin(
+        _cap_common_shingles(
+            shingles(df, id_col, text_col, n), max_shingle_df,
+            op="minhash_lsh_pairs",
+        ),
+        materialize and verify,  # single consumer when not verifying
     )
-    sig = minhash_signatures(
-        sh, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+    sig = _pin(
+        minhash_signatures(
+            sh, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+        ),
+        materialize,
     )
     banded = _banded_signatures(sig, bands, rows_per_band, hash_strategy)
     cands = (
@@ -540,6 +568,7 @@ def _cross_capped_shingles(
     text_col: str,
     max_shingle_df: int | None,
     op: str,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shingle both corpora and apply ONE document-frequency cap over
     their union, so a boilerplate shingle common to both sides is
@@ -549,7 +578,13 @@ def _cross_capped_shingles(
     conservative, never under-caps)."""
     shl = shingles(left, id_col, text_col, n).withColumn("side", F.lit("l"))
     shr = shingles(right, id_col, text_col, n).withColumn("side", F.lit("r"))
-    both = _cap_common_shingles(shl.unionByName(shr), max_shingle_df, op=op)
+    # pin the UNION-capped table once: both side-slices and all their
+    # downstream consumers read the same stored blocks instead of each
+    # re-running both corpora's shingling + the union df-cap
+    both = _pin(
+        _cap_common_shingles(shl.unionByName(shr), max_shingle_df, op=op),
+        materialize,
+    )
     return (
         both.filter(F.col("side") == "l").drop("side"),
         both.filter(F.col("side") == "r").drop("side"),
@@ -564,6 +599,7 @@ def jaccard_pairs_cross(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact cross-corpus near-dup pairs: every (a ∈ left, b ∈ right)
     with shingle-set Jaccard ≥ threshold — the canonical "dedupe the
@@ -578,7 +614,8 @@ def jaccard_pairs_cross(
     capped shingle index is the thing to persist/bucket once and reuse
     across crawl increments."""
     shl, shr = _cross_capped_shingles(
-        left, right, n, id_col, text_col, max_shingle_df, "jaccard_pairs_cross"
+        left, right, n, id_col, text_col, max_shingle_df,
+        "jaccard_pairs_cross", materialize=materialize,
     )
     pairs = (
         ensure_min_partitions(shl).alias("l")
@@ -602,6 +639,7 @@ def minhash_lsh_pairs_cross(
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     seed: int = 42,
     hash_strategy: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-corpus MinHash-LSH: banded signatures for both corpora
     (same coefficients/seed, so signatures are comparable), candidates
@@ -618,13 +656,19 @@ def minhash_lsh_pairs_cross(
     rows_per_band = num_hashes // bands
     shl, shr = _cross_capped_shingles(
         left, right, n, id_col, text_col, max_shingle_df,
-        "minhash_lsh_pairs_cross",
+        "minhash_lsh_pairs_cross", materialize=materialize,
     )
-    sig_l = minhash_signatures(
-        shl, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+    sig_l = _pin(
+        minhash_signatures(
+            shl, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+        ),
+        materialize,
     )
-    sig_r = minhash_signatures(
-        shr, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+    sig_r = _pin(
+        minhash_signatures(
+            shr, num_hashes=num_hashes, seed=seed, hash_strategy=hash_strategy
+        ),
+        materialize,
     )
     cands = (
         ensure_min_partitions(
