@@ -801,6 +801,27 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs).select("fingerprint", "n_dups", "keep_id")
 
 
+def q_dedup_exact_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_duplicates with the bounded dup_ids sample (r4: the
+    unbounded collect_list hazard fix): fingerprint over the SOURCE
+    column so sf0.01 actually has duplicate groups, dup_ids capped at
+    5 with the omitted count. The capped id list is emitted as a
+    comma-joined string so the oracle hash compares a scalar."""
+    from cello_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    g = exact_duplicates(docs, text_col="source", max_ids=5)
+    return g.select(
+        "fingerprint",
+        "n_dups",
+        "keep_id",
+        F.concat_ws(
+            ",", F.transform("dup_ids", lambda x: x.cast("string"))
+        ).alias("dup_ids_capped"),
+        "n_ids_omitted",
+    )
+
+
 def q_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cello_spark.operators.dedup import dedup_exact
 
@@ -1830,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triple_pr": q_triple_pr,
         "q_text_stats": q_text_stats,
         "q_dedup_exact_groups": q_dedup_exact_groups,
+        "q_dedup_exact_capped": q_dedup_exact_capped,
         "q_dedup_keep_min": q_dedup_keep_min,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_fuzzy": q_dedup_fuzzy,
@@ -1900,6 +1922,8 @@ _TOKENS_SQL = (
     "chr(9)||chr(10)||chr(13), '   '), ' '), t -> t != '')"
 )
 _NORM_SQL = f"array_to_string({_TOKENS_SQL}, ' ')"
+# same normalization over the `source` column (q_dedup_exact_capped)
+_NORM_SRC_SQL = _NORM_SQL.replace("lower(text)", "lower(source)")
 
 # mention-path tokenizer (punctuation folded) — built from the SAME
 # fold set the engine uses (functions/text.py mention_tokens) so the
@@ -3037,6 +3061,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups, min(doc_id) AS keep_id
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q_dedup_exact_capped": f"""
+            WITH fp AS (
+              SELECT doc_id, md5({_NORM_SRC_SQL}) AS fingerprint
+              FROM documents
+            ), g AS (
+              SELECT fingerprint, count(*) AS n_dups,
+                     min(doc_id) AS keep_id
+              FROM fp GROUP BY 1 HAVING count(*) > 1
+            ), ranked AS (
+              SELECT fingerprint, doc_id,
+                     row_number() OVER (PARTITION BY fingerprint
+                                        ORDER BY doc_id) AS rn
+              FROM fp
+            ), ids AS (
+              SELECT fingerprint,
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY doc_id) AS dup_ids_capped
+              FROM ranked WHERE rn <= 5 GROUP BY 1
+            )
+            SELECT g.fingerprint, g.n_dups, g.keep_id,
+                   ids.dup_ids_capped,
+                   CAST(g.n_dups - least(g.n_dups, 5) AS INT)
+                     AS n_ids_omitted
+            FROM g JOIN ids USING (fingerprint)
         """,
         "q_dedup_keep_min": f"""
             SELECT doc_id FROM (
