@@ -518,13 +518,21 @@ def simhash_pairs(
     text_col: str = "text",
     n_bands: int = 4,
     hash_strategy: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming. Pigeonhole banding:
     split 64 bits into n_bands chunks; any pair within distance
     max_hamming < n_bands shares at least one identical chunk → join on
-    (band, chunk) then verify exact hamming via bit_count(xor)."""
+    (band, chunk) then verify exact hamming via bit_count(xor).
+
+    The simhash table (one row/doc) feeds both sides of the band join
+    — pinned (see _pin) so the 64-vote token aggregate runs once, not
+    per side (sf0.1: 4.1s -> 2.9s warm, 12.5s -> 4.0s cold)."""
     assert max_hamming < n_bands, "pigeonhole needs n_bands > max_hamming"
-    sh = simhash(df, id_col, text_col, hash_strategy=hash_strategy)
+    sh = _pin(
+        simhash(df, id_col, text_col, hash_strategy=hash_strategy),
+        materialize,
+    )
     width = 64 // n_bands
     banded = sh.select(
         "doc_id",
