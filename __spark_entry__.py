@@ -520,6 +520,20 @@ def q_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "rank_idx")
 
 
+def q_group_rank_dehub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_group_rank with the de-hubbed path FORCED (probe_skew=False):
+    at sf0.01 the skew probe routes q_group_rank through the plain
+    window, so this twin keeps the range-partitioned rank machinery
+    (localCheckpoint-pinned __rpid, null-safe offsets join) under
+    cross-engine verification too."""
+    from cello_spark.partitioning import per_group_sorted_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_sorted_index(
+        docs, ["source"], ["doc_id"], idx_col="rank_idx", probe_skew=False
+    ).select("doc_id", "source", "rank_idx")
+
+
 def q_positive_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO1: items positive for a label = carry it or any descendant
     (labels = partkeys under the division DAG, items = orders)."""
@@ -1827,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_walks, hvg de-hub), plus high-value re-confirms ---
         "q_onn_confidence": q_onn_confidence,
         "q_group_rank": q_group_rank,
+        "q_group_rank_dehub": q_group_rank_dehub,
         "q_kg_negatives": q_kg_negatives,
         "q_kg_walks": q_kg_walks,
         "q_cap_per_stratum": q_cap_per_stratum,
@@ -2543,6 +2558,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
         """,
         "q_group_rank": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY doc_id) - 1 AS INT)
+                   AS rank_idx
+            FROM documents
+        """,
+        "q_group_rank_dehub": """
             SELECT doc_id, source,
                    CAST(row_number() OVER (
                      PARTITION BY source ORDER BY doc_id) - 1 AS INT)
