@@ -73,8 +73,14 @@ def exact_duplicates(
     top-k when the group is hub-sized), so no task ever aggregates
     more than max_ids ids per fingerprint; n_ids_omitted says what the
     cap dropped. Pass max_ids=None only on inputs known small."""
-    fp = df.select(
-        F.col(id_col).alias("doc_id"), fingerprint_md5(text_col).alias("fingerprint")
+    # pinned: the fingerprint projection (md5 over all text) feeds the
+    # group aggregate, the duplicate semi-join, and the cap — one scan
+    # instead of three
+    fp = _pin(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint_md5(text_col).alias("fingerprint"),
+        )
     )
     groups = (
         fp.groupBy("fingerprint")
@@ -84,13 +90,18 @@ def exact_duplicates(
         )
         .filter(F.col("n_dups") > 1)
     )
+    # restrict to actual duplicates BEFORE the cap/collect: on a
+    # typical corpus >99% of fingerprints are singletons and would
+    # otherwise flow through the rank shuffle only to be dropped by
+    # the final inner join
+    dups = fp.join(groups.select("fingerprint"), "fingerprint", "left_semi")
     if max_ids is None:
-        members = fp
+        members = dups
     else:
         from cello_spark.partitioning import capped_per_group
 
         members = capped_per_group(
-            fp, ["fingerprint"], ["doc_id"], n_max=max_ids
+            dups, ["fingerprint"], ["doc_id"], n_max=max_ids
         )
     ids = members.groupBy("fingerprint").agg(
         F.array_sort(F.collect_list("doc_id")).alias("dup_ids")

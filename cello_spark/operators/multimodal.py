@@ -149,7 +149,10 @@ def _decode_png(content: bytes) -> np.ndarray:
 
 
 def _decode_ppm(content: bytes) -> np.ndarray:
-    """Binary PPM (P6) / PGM (P5), 8-bit."""
+    """Binary PPM (P6) / PGM (P5), 8-bit. The spec mandates a single
+    whitespace after maxval; CRLF-written headers (Windows writers)
+    are tolerated by skipping the \\r\\n pair — otherwise the \\n
+    would silently become the first pixel byte."""
     fields: list[bytes] = []
     pos = 0
     while len(fields) < 4 and pos < len(content):
@@ -163,12 +166,30 @@ def _decode_ppm(content: bytes) -> np.ndarray:
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
         fields.append(content[start:pos])
+    if len(fields) < 4:
+        raise ValueError("truncated netpbm header")
     magic, w, h, maxv = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
     if magic not in (b"P5", b"P6") or maxv != 255:
         raise NotImplementedError(f"unsupported netpbm {magic!r}/{maxv}")
     nch = 3 if magic == b"P6" else 1
-    pix = np.frombuffer(content, np.uint8, count=w * h * nch, offset=pos + 1)
+    data_at = pos + (2 if content[pos : pos + 2] == b"\r\n" else 1)
+    n = w * h * nch
+    if len(content) - data_at < n:
+        raise ValueError(
+            f"netpbm payload truncated: need {n} bytes, have "
+            f"{len(content) - data_at}"
+        )
+    pix = np.frombuffer(content, np.uint8, count=n, offset=data_at)
     return pix.reshape(h, w, nch).copy()
+
+
+# probed ONCE at import: a failed `from PIL import ...` is NOT cached
+# by Python, so retrying per decoded row would pay a full sys.path
+# scan per item (~50us each — real money inside mapInPandas)
+try:
+    from PIL import Image as _PIL_IMAGE  # noqa: N812
+except ImportError:
+    _PIL_IMAGE = None
 
 
 def real_decoder(content: bytes, kind: str) -> np.ndarray:
@@ -183,14 +204,18 @@ def real_decoder(content: bytes, kind: str) -> np.ndarray:
             "and pass a decoder wrapping it, or use fake_decoder for "
             "plumbing tests"
         )
-    try:
-        from PIL import Image  # noqa: PLC0415
+    if _PIL_IMAGE is not None:
         import io  # noqa: PLC0415
 
-        arr = np.asarray(Image.open(io.BytesIO(content)))
+        img = _PIL_IMAGE.open(io.BytesIO(content))
+        # normalize mode BEFORE asarray: palette images would yield
+        # palette INDICES, 16-bit images int32 values 0-65535 — both
+        # silently wrong for downstream uint8 feature math
+        if img.mode not in ("L", "RGB", "RGBA"):
+            has_alpha = "A" in img.mode or "transparency" in img.info
+            img = img.convert("RGBA" if has_alpha else "RGB")
+        arr = np.asarray(img)
         return arr[:, :, None] if arr.ndim == 2 else arr
-    except ImportError:
-        pass
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(content)
     if content[:2] in (b"P5", b"P6"):

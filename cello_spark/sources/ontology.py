@@ -83,8 +83,9 @@ def _strip_comment(value: str) -> str:
 def parse_obo_text(text: str, include_obsolete: bool = True) -> tuple[list[dict], list[dict]]:
     """Parse OBO content into (term_rows, edge_rows). Stanza-chunked:
     split on [Term] headers, key:value lines inside."""
-    term_rows: list[dict] = []
+    term_rows: list[dict | None] = []
     edge_rows: list[dict] = []
+    _seen_terms: dict[str, int] = {}
     stanza: list[str] | None = None
 
     def flush(lines: list[str]) -> None:
@@ -132,6 +133,15 @@ def parse_obo_text(text: str, include_obsolete: bool = True) -> tuple[list[dict]
             return
         if obsolete and not include_obsolete:
             return
+        # later-stanza-wins WITHIN a file, edges included: the
+        # reference's parse_obo assigns id_to_term[term.id] = term per
+        # stanza, replacing the earlier Term OBJECT and with it its
+        # relationships (ontology_graph.py:416) — so a duplicated
+        # [Term] id must not union the superseded stanza's edges
+        if tid in _seen_terms:
+            term_rows[_seen_terms[tid]] = None  # compacted after parse
+            edge_rows[:] = [e for e in edge_rows if e["src"] != tid]
+        _seen_terms[tid] = len(term_rows)
         term_rows.append(
             {
                 "term_id": tid,
@@ -158,7 +168,7 @@ def parse_obo_text(text: str, include_obsolete: bool = True) -> tuple[list[dict]
             stanza.append(raw)
     if stanza is not None:
         flush(stanza)
-    return term_rows, edge_rows
+    return [r for r in term_rows if r is not None], edge_rows
 
 
 def obo_to_dataframes(

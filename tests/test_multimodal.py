@@ -1,6 +1,7 @@
-"""Multimodal plumbing: schema, batching, decode stub, features,
-frame sampling. The decode itself is a deterministic fake (codecs are
-not in this container); the Spark-side contracts are real."""
+"""Multimodal plumbing: schema, batching, decode, features, frame
+sampling. Image decode is REAL (builtin PNG/PPM decoders; PIL when
+installed) and verified against spec-conformant fixtures crafted
+here; the deterministic fake remains for hermetic plumbing tests."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -246,3 +247,19 @@ def test_resize_media_upsample_and_identity(spark, media):
     ).collect()[0]
     got = np.frombuffer(bytes(same["content"]), dtype=np.uint8).reshape(arr.shape)
     assert np.array_equal(got, arr)
+
+
+def test_decode_ppm_crlf_header_and_truncation():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # CRLF after maxval (Windows writers): must not shift pixel data
+    content = b"P6\n3 2\n255\r\n" + px.tobytes()
+    assert np.array_equal(M.real_decoder(content, "image"), px)
+    # truncated payload raises cleanly, not a silent short read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.real_decoder(b"P6\n3 2\n255\n" + px.tobytes()[:-1], "image")
+    with _pytest.raises(ValueError):
+        M._decode_ppm(b"P6\n3 2")

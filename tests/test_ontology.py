@@ -264,3 +264,38 @@ is_a: CS:MISSING
     assert set(uo.terms.term_id) == {"UO:7"}
     assert len(uo.edges) == 0
     assert uo.labels == ["UO:7"]
+
+
+def test_parse_obo_duplicate_stanza_later_wins_edges():
+    """A term id duplicated WITHIN one file keeps only the later
+    stanza's term row AND edges — matching the reference's
+    id_to_term[term.id] = term per-stanza replacement
+    (ontology_graph.py:416), which drops the earlier Term object's
+    relationships with it."""
+    from cello_spark.sources.ontology import parse_obo_text
+
+    text = """[Term]
+id: CS:1
+name: one v1
+is_a: CS:A
+
+[Term]
+id: CS:A
+name: a
+
+[Term]
+id: CS:1
+name: one v2
+is_a: CS:B
+
+[Term]
+id: CS:B
+name: b
+"""
+    terms, edges = parse_obo_text(text)
+    names = {t["term_id"]: t["name"] for t in terms}
+    assert len(terms) == 3  # CS:1 deduped
+    assert names["CS:1"] == "one v2"
+    got = {(e["src"], e["dst"]) for e in edges}
+    assert ("CS:1", "CS:B") in got
+    assert ("CS:1", "CS:A") not in got  # superseded stanza's edge gone

@@ -176,6 +176,10 @@ def run_multi(
         wall = time.monotonic() - t0
         stages = {r.name: r.rows for r in results}
         got_all = pipe.output("triples").toPandas()
+    except BaseException:
+        if own_spark:
+            spark.stop()
+        raise
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -244,6 +248,8 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(existing, f, indent=1)
         print(json.dumps(out))
+        if not out["pr_gate"]["pass"]:
+            raise SystemExit(1)
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_labels = int(sys.argv[2]) if len(sys.argv) > 2 else 500
