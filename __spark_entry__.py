@@ -1781,6 +1781,21 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_stratum_dehub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cap_per_stratum with the two-phase salted top-k FORCED
+    (hub_rows=1): at sf0.01 the skew probe routes the default query
+    through the single window, so this twin keeps the bucketed
+    pre-cap machinery under cross-engine verification."""
+    from cello_spark.operators.corpus import cap_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cap_per_stratum(docs, 20, strata_col="source", hub_rows=1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_cap_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (the C4/RefinedWeb limit-pages-per-
     domain rule): at most 20 docs per source, survivors chosen by
@@ -1845,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_negatives": q_kg_negatives,
         "q_kg_walks": q_kg_walks,
         "q_cap_per_stratum": q_cap_per_stratum,
+        "q_cap_per_stratum_dehub": q_cap_per_stratum_dehub,
         "q_hvg_topn": q_hvg_topn,
         "q_connected_components": q_connected_components,
         "q_canonical_map": q_canonical_map,
@@ -3810,6 +3826,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM func
         """,
         "q_cap_per_stratum": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_duck_h64("cast(doc_id AS VARCHAR)")} ASC,
+                                doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 20
+        """,
+        "q_cap_per_stratum_dehub": f"""
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
                      row_number() OVER (
