@@ -62,6 +62,7 @@ def exact_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_ids: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """Groups of byte-identical (normalized) docs: returns
     (fingerprint, n_dups, keep_id, dup_ids, n_ids_omitted) for groups
@@ -80,7 +81,8 @@ def exact_duplicates(
         df.select(
             F.col(id_col).alias("doc_id"),
             fingerprint_md5(text_col).alias("fingerprint"),
-        )
+        ),
+        materialize,
     )
     groups = (
         fp.groupBy("fingerprint")

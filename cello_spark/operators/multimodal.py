@@ -166,7 +166,7 @@ def _decode_ppm(content: bytes) -> np.ndarray:
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
         fields.append(content[start:pos])
-    if len(fields) < 4:
+    if len(fields) < 4 or b"" in fields:
         raise ValueError("truncated netpbm header")
     magic, w, h, maxv = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
     if magic not in (b"P5", b"P6") or maxv != 255:
@@ -188,7 +188,10 @@ def _decode_ppm(content: bytes) -> np.ndarray:
 # scan per item (~50us each — real money inside mapInPandas)
 try:
     from PIL import Image as _PIL_IMAGE  # noqa: N812
-except ImportError:
+except Exception:  # noqa: BLE001 — probe semantics: "is PIL usable?"
+    # broken installs raise non-ImportError (OSError against a bad
+    # libjpeg, numpy ABI RuntimeError); confine the blast radius to
+    # the PIL path instead of failing the whole module import
     _PIL_IMAGE = None
 
 

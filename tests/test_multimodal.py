@@ -253,13 +253,18 @@ def test_decode_ppm_crlf_header_and_truncation():
     import numpy as np
 
     px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
-    # CRLF after maxval (Windows writers): must not shift pixel data
+    # CRLF after maxval (Windows writers): must not shift pixel data.
+    # _decode_ppm directly — the contract pinned here is the BUILTIN
+    # decoder's; with pillow installed real_decoder routes to PIL,
+    # whose PPM plugin has its own (stricter) header handling
     content = b"P6\n3 2\n255\r\n" + px.tobytes()
-    assert np.array_equal(M.real_decoder(content, "image"), px)
+    assert np.array_equal(M._decode_ppm(content), px)
     # truncated payload raises cleanly, not a silent short read
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        M.real_decoder(b"P6\n3 2\n255\n" + px.tobytes()[:-1], "image")
+        M._decode_ppm(b"P6\n3 2\n255\n" + px.tobytes()[:-1])
     with _pytest.raises(ValueError):
         M._decode_ppm(b"P6\n3 2")
+    with _pytest.raises(ValueError):
+        M._decode_ppm(b"P6 3 2 ")  # header cut + trailing whitespace

@@ -158,6 +158,31 @@ def run_multi(
             app_name="bench_multi_obo",
             cores=cores or int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
         )
+    try:
+        return _run_multi_body(
+            spark, onto, live, cl, uo, labels, obo_paths, n_docs,
+            gate_docs,
+        )
+    finally:
+        # one cleanup at the right depth: covers pipeline AND the
+        # oracle-gate math below, success and failure alike
+        if own_spark:
+            spark.stop()
+
+
+def _run_multi_body(
+    spark, onto, live, cl, uo, labels, obo_paths, n_docs, gate_docs
+) -> dict:
+    import pandas as pd
+
+    from cello_spark import oracle
+    from cello_spark.plans.kg import build_kg_pipeline
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_thresholds,
+    )
+
     t_gen0 = time.monotonic()
     docs_pdf, feats_pdf, _ = make_documents(onto, n_docs=n_docs)
     docs = spark.createDataFrame(docs_pdf)
@@ -176,10 +201,6 @@ def run_multi(
         wall = time.monotonic() - t0
         stages = {r.name: r.rows for r in results}
         got_all = pipe.output("triples").toPandas()
-    except BaseException:
-        if own_spark:
-            spark.stop()
-        raise
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -229,8 +250,6 @@ def run_multi(
             "pass": bool(p >= 0.95 and r >= 0.95),
         },
     }
-    if own_spark:
-        spark.stop()
     return out
 
 
