@@ -146,6 +146,14 @@ class Pipeline:
             data_dir = os.path.join(sdir, "data")
             entry = manifest["stages"].get(name)
             if entry and entry.get("status") == "complete" and os.path.exists(data_dir):
+                # crash debris under a completed stage (a _tmp_data dir
+                # left by an interrupted writer whose commit DID land,
+                # or dropped by an external process) is dead weight —
+                # clear it on the skip path too so resumed runs
+                # converge to a clean workdir
+                shutil.rmtree(
+                    os.path.join(sdir, "_tmp_data"), ignore_errors=True
+                )
                 out = self.spark.read.parquet(data_dir)
                 with lock:
                     ctx[name] = out
