@@ -5,10 +5,13 @@ SURVEY.md §2 (plus the training-data operators: dedup, text analysis,
 similarity search); `oracle_sql()` gives the DuckDB-equivalent SQL the
 driver runs side-by-side at sf=0.01. Column names and float rounding
 are aligned in BOTH so the order-insensitive value-hash comparison is
-well-defined. Engine-specific-hash operators (MinHash, SimHash,
-rolling fingerprints, IVF bucketing) are exposed rows-only (no oracle)
-— their semantics are pytest-verified against python oracles instead
-(tests/test_dedup.py, tests/test_similarity.py).
+well-defined. Approximate operators (IVF top-k, bucketed embedding
+near-dup, the fixture KG pipeline) emit oracle-checkable INVARIANT
+rows: exact-side counts the DuckDB oracle recomputes from the same
+parquet plus recall/P-R bound flags. Only genuinely engine-specific
+paths stay rows-only (xxhash64 LSH twins, iterative kmeans, binary
+media decode) — their semantics are pytest-verified against python
+oracles instead (tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -1013,14 +1016,59 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for embedding near-dup: pairs form only inside
     IVF centroid buckets (self-join quadratic in bucket size, not
-    corpus size). Rows-only at the driver (bucketing is
-    engine-specific); recall ≥ target vs the exact all-pairs query is
-    asserted in tests/test_similarity.py."""
-    from cello_spark.operators.similarity import embedding_near_dup_pairs
+    corpus size) — emitted as its INVARIANT row so the DuckDB oracle
+    can check it: (n_exact, n_outside_exact, recall_ok). n_exact is
+    the exact all-pairs cosine ≥ 0.5 count (SQL-recomputable from the
+    same parquet); n_outside_exact must be 0 (every bucketed pair is
+    verified with the exact cosine before emission, so the bucketed
+    set is a SUBSET of the exact set by construction); recall_ok
+    asserts recall vs exact ≥ 0.5 (vacuously 1 when n_exact = 0;
+    measured 1.0 / 1.0 / 0.64 at sf0.001/0.01/0.1 — the recall VALUE
+    is centroid-dependent, hence a bound, not an equality). Raw-pair
+    inspection stays available via the exact small-SF twin
+    q_embedding_near_dup_exact; tests/test_similarity.py gates the
+    operator's recall too."""
+    from cello_spark.operators.similarity import (
+        cosine_similarity_col,
+        embedding_near_dup_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=0.5, n_centroids=8)
-    return pairs.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    exact = (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("a", "b")
+    )
+    # one pass: classify each (a, b) of the full outer join
+    flags = (
+        pairs.select("a", "b").withColumn("__p", F.lit(1))
+        .join(exact.withColumn("__e", F.lit(1)), ["a", "b"], "full_outer")
+        .agg(
+            F.count_if(F.col("__e").isNotNull()).alias("n_exact"),
+            F.count_if(
+                F.col("__p").isNotNull() & F.col("__e").isNull()
+            ).alias("n_outside_exact"),
+            F.count_if(
+                F.col("__p").isNotNull() & F.col("__e").isNotNull()
+            ).alias("n_found"),
+        )
+    )
+    return flags.select(
+        "n_exact",
+        "n_outside_exact",
+        F.when(
+            (F.col("n_exact") == 0)
+            | (F.col("n_found") / F.col("n_exact") >= 0.5),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("recall_ok"),
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1135,20 @@ def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cello_spark.operators.similarity import ivf_build, ivf_topk
+    """IVF ANN top-k, emitted as its INVARIANT row so the DuckDB
+    oracle can check it: (n_queries, n_exact, recall_ok). n_queries
+    and n_exact (the exact brute-force top-k row count, window SQL
+    over the same parquet — the exact side already hash-verified by
+    q_cosine_topk) are SQL-recomputable; recall_ok asserts aggregate
+    recall |ivf ∩ exact| / |exact| ≥ 0.6 over all queries (measured
+    0.80 / 0.80 / 0.87 at sf0.001/0.01/0.1; the recall VALUE is
+    centroid-dependent, hence a bound, not an equality — the per-query
+    ≥ 0.5 gate lives in tests/test_similarity.py)."""
+    from cello_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_build,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = (
@@ -1095,9 +1156,36 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     assigned, C = ivf_build(emb, n_centroids=8, seed=42)
-    out = ivf_topk(assigned, C, queries, k=5, n_probe=4)
-    return out.select(
-        "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    approx = ivf_topk(assigned, C, queries, k=5, n_probe=4).select(
+        "query_id", "vec_id"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    flags = (
+        approx.withColumn("__a", F.lit(1))
+        .join(exact.withColumn("__e", F.lit(1)), ["query_id", "vec_id"], "full_outer")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__e").isNotNull(), F.col("query_id"))
+            ).alias("n_queries"),
+            F.count_if(F.col("__e").isNotNull()).alias("n_exact"),
+            F.count_if(
+                F.col("__a").isNotNull() & F.col("__e").isNotNull()
+            ).alias("n_hits"),
+        )
+    )
+    return flags.select(
+        "n_queries",
+        "n_exact",
+        F.when(
+            (F.col("n_exact") == 0)
+            | (F.col("n_hits") / F.col("n_exact") >= 0.6),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("recall_ok"),
     )
 
 
@@ -1123,10 +1211,21 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (fixture world, deterministic) — the flagship
-    end-to-end operator chain; rows-only (oracle is the pytest numpy
-    oracle, not SQL-expressible)."""
+    end-to-end operator chain, emitted as its P/R INVARIANT row: the
+    pipeline's triple table is compared (distributed triple_pr) against
+    the frozen numpy oracle's golden triples
+    (cello_spark.oracle.golden_fixture_triples — the SAME oracle the
+    pytest ≥0.95 gate uses), and the query returns the one-row
+    (tp, fp, fn, precision, recall, f1) summary. The fixture world is
+    fully deterministic, so the oracle SQL pins the expected scalars
+    (tp=1676, fp=fn=0, P=R=F1=1.0) as literals — a hash mismatch means
+    the pipeline no longer reproduces the reference semantics."""
     import tempfile
 
+    import pandas as pd
+
+    from cello_spark import oracle as _oracle
+    from cello_spark.operators.metrics import triple_pr
     from cello_spark.plans.kg import build_kg_pipeline
     from cello_spark.sources.fixtures import (
         make_documents,
@@ -1136,7 +1235,9 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     onto = make_ontology()
-    docs, feats, _ = make_documents(onto, n_docs=200)
+    docs, feats, truth = make_documents(onto, n_docs=200)
+    weights = make_model_weights(onto)
+    thresholds = make_thresholds(onto)
     workdir = tempfile.mkdtemp(prefix="kg_entry_")
     pipe = build_kg_pipeline(
         spark,
@@ -1144,11 +1245,23 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(docs),
         spark.createDataFrame(feats),
         onto,
-        make_model_weights(onto),
-        make_thresholds(onto),
+        weights,
+        thresholds,
     )
     pipe.run()
-    return pipe.output("triples").orderBy("subj", "pred", "obj")
+    lab = set(onto.labels)
+    all_edges = pd.concat([onto.edges, onto.patch_edges])
+    label_edges = [
+        (c, p)
+        for c, p, r in all_edges[["src", "dst", "rel"]].itertuples(index=False)
+        if r == "is_a" and c in lab and p in lab
+    ]
+    golden = _oracle.golden_fixture_triples(
+        onto,
+        {"features": feats, "weights": weights, "thresholds": thresholds},
+        label_edges,
+    )
+    return triple_pr(pipe.output("triples"), spark.createDataFrame(golden))
 
 
 # q_kg_chain constants: a small alias dictionary mapping document
@@ -1948,13 +2061,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # cello_spark.functions.text.tokens / normalize_text exactly:
 # lowercase, fold tab/newline/CR to space, split on single space, drop
 # empties — regex-free on the Spark side, see functions/text.py)
-_TOKENS_SQL = (
-    "list_filter(string_split(translate(lower(text), "
-    "chr(9)||chr(10)||chr(13), '   '), ' '), t -> t != '')"
-)
-_NORM_SQL = f"array_to_string({_TOKENS_SQL}, ' ')"
+def _tokens_sql(col: str = "text") -> str:
+    """DuckDB tokenizer over an arbitrary column — parameterized so
+    per-column variants can't silently drift from each other (the old
+    str.replace('lower(text)', ...) approach became a no-op whenever
+    the fragment was reworded)."""
+    return (
+        f"list_filter(string_split(translate(lower({col}), "
+        "chr(9)||chr(10)||chr(13), '   '), ' '), t -> t != '')"
+    )
+
+
+def _norm_sql(col: str = "text") -> str:
+    return f"array_to_string({_tokens_sql(col)}, ' ')"
+
+
+_TOKENS_SQL = _tokens_sql("text")
+_NORM_SQL = _norm_sql("text")
 # same normalization over the `source` column (q_dedup_exact_capped)
-_NORM_SRC_SQL = _NORM_SQL.replace("lower(text)", "lower(source)")
+_NORM_SRC_SQL = _norm_sql("source")
 
 # mention-path tokenizer (punctuation folded) — built from the SAME
 # fold set the engine uses (functions/text.py mention_tokens) so the
@@ -3925,5 +4050,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
             FROM documents
             GROUP BY source
+        """,
+        # --- invariant-row oracles for approximate/pipeline queries:
+        # the data-grounded columns (exact-side counts) are recomputed
+        # from the same parquet; the *_ok columns are the invariant the
+        # engine must satisfy (a bound, not an equality — see each
+        # query's docstring), pinned as literals ---
+        "q_embedding_near_dup_bucketed": """
+            WITH exact AS (
+              SELECT l.vec_id AS a, r.vec_id AS b
+              FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+              WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                           CAST(r.embedding AS DOUBLE[])) >= 0.5
+            )
+            SELECT count(*) AS n_exact,
+                   CAST(0 AS BIGINT) AS n_outside_exact,
+                   CAST(1 AS INTEGER) AS recall_ok
+            FROM exact
+        """,
+        "q_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.q_emb AS DOUBLE[])) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            ), exact AS (
+              SELECT query_id, vec_id FROM ranked WHERE rank <= 5
+            )
+            SELECT count(DISTINCT query_id) AS n_queries,
+                   count(*) AS n_exact,
+                   CAST(1 AS INTEGER) AS recall_ok
+            FROM exact
+        """,
+        "q_kg_triples": """
+            -- fixture-world pipeline P/R invariant: the fixture corpus
+            -- lives outside the sf parquet tables, so every scalar is a
+            -- pinned literal of the deterministic expected outcome
+            -- (triple_pr of the pipeline vs the frozen numpy oracle's
+            -- golden triples; regenerate via
+            -- oracle.golden_fixture_triples if the fixture changes)
+            SELECT CAST(1676 AS BIGINT) AS tp,
+                   CAST(0 AS BIGINT) AS fp,
+                   CAST(0 AS BIGINT) AS fn,
+                   CAST(1.0 AS DOUBLE) AS precision,
+                   CAST(1.0 AS DOUBLE) AS recall,
+                   CAST(1.0 AS DOUBLE) AS f1
         """,
     }

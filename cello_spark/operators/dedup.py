@@ -63,6 +63,7 @@ def exact_duplicates(
     text_col: str = "text",
     max_ids: int = 100,
     materialize: bool = True,
+    hub_rows: int = 262_144,
 ) -> DataFrame:
     """Groups of byte-identical (normalized) docs: returns
     (fingerprint, n_dups, keep_id, dup_ids, n_ids_omitted) for groups
@@ -73,7 +74,15 @@ def exact_duplicates(
     membership comes from partitioning.capped_per_group (two-phase
     top-k when the group is hub-sized), so no task ever aggregates
     more than max_ids ids per fingerprint; n_ids_omitted says what the
-    cap dropped. Pass max_ids=None only on inputs known small."""
+    cap dropped. Pass max_ids=None only on inputs known small.
+
+    .. versionchanged:: round 4
+       Output contract change: dup_ids used to hold the FULL group
+       membership and there was no n_ids_omitted column. Callers that
+       need the old unbounded behavior must pass ``max_ids=None``
+       explicitly (and accept the hub-group hazard that motivated the
+       cap); callers reading positionally must account for the new
+       trailing ``n_ids_omitted`` column."""
     # pinned: the fingerprint projection (md5 over all text) feeds the
     # group aggregate, the duplicate semi-join, and the cap — one scan
     # instead of three
@@ -102,8 +111,12 @@ def exact_duplicates(
     else:
         from cello_spark.partitioning import capped_per_group
 
+        # hub_rows forwards to capped_per_group's skew probe: groups
+        # larger than it take the two-phase top-k instead of a single
+        # window task (lower it in tests to force that path)
         members = capped_per_group(
-            dups, ["fingerprint"], ["doc_id"], n_max=max_ids
+            dups, ["fingerprint"], ["doc_id"], n_max=max_ids,
+            hub_rows=hub_rows,
         )
     ids = members.groupBy("fingerprint").agg(
         F.array_sort(F.collect_list("doc_id")).alias("dup_ids")

@@ -296,3 +296,30 @@ def precision_recall(
         return (0.0, 0.0)
     tp = len(g & w)
     return tp / len(g), tp / len(w)
+
+
+def golden_fixture_triples(onto, world: dict, label_edges) -> pd.DataFrame:
+    """Golden triples for the standard deterministic fixture world
+    (sources/fixtures.make_documents + make_model_weights +
+    make_thresholds): score -> reconcile -> binarize -> one-most-
+    specific -> emit. Shared by the pytest P/R gate
+    (tests/test_pipeline.py) and the q_kg_triples entry invariant so
+    both compare against the SAME frozen oracle (FIXTURES.md F8)."""
+    from cello_spark.sources.fixtures import QUALIFIER_SUFFIXES, term_id
+
+    probs = score_probs(world["features"], world["weights"])
+    rec = reconcile_all(probs, label_edges)
+    bins = binarize(rec, world["thresholds"], label_edges)
+    ms, fb = select_one_most_specific(
+        rec,
+        bins,
+        world["thresholds"],
+        label_edges,
+        qualifier_terms={term_id(s) for s in QUALIFIER_SUFFIXES},
+    )
+    live = onto.terms[~onto.terms.is_obsolete]
+    live_edges = onto.edges[
+        onto.edges.src.isin(live.term_id) & onto.edges.dst.isin(live.term_id)
+    ]
+    patched = pd.concat([live_edges, onto.patch_edges]).drop_duplicates()
+    return emit_triples(patched, ms, fb)

@@ -24,7 +24,6 @@ are never mutated — mentions are an additive side table keyed by
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -34,6 +33,26 @@ DOCUMENT_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
+
+
+def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
+    """True when `path` exists and holds at least one non-empty data
+    file (hidden files and commit markers — `_SUCCESS`, `.crc`,
+    `_spark_metadata` — don't count). Uses the Hadoop FileSystem API so
+    the same check works on local, HDFS, or object-store paths; the
+    driver-side listing is bounded by returning at the FIRST data file."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")) and f.getLen() > 0:
+            return True
+    return False
 
 
 def stream_documents(
@@ -53,23 +72,16 @@ def stream_documents(
     int32 or int64 depending on the writer). An EMPTY (or not yet
     created) ingest directory has nothing to infer from — fall back to
     DOCUMENT_SCHEMA so a stream can start before the first file lands
-    instead of crashing with 'Unable to infer schema'."""
+    instead of crashing with 'Unable to infer schema'. The empty check
+    is a Hadoop FileSystem listing (works for any fs:// the cluster
+    mounts), not exception-message parsing — any failure on a
+    NON-empty directory (corrupt footer, permissions) surfaces at
+    setup instead of being deferred into the running stream with a
+    guessed schema."""
     if schema is None:
-        try:
+        if _dir_has_data_files(spark, input_dir):
             schema = spark.read.parquet(input_dir).schema
-        except AnalysisException as ex:
-            # ONLY the empty/missing-directory case falls back; any
-            # other read failure (corrupt footer, permissions) must
-            # surface at setup, not be deferred into the running
-            # stream with a guessed schema
-            msg = str(ex)
-            if not (
-                "PATH_NOT_FOUND" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg
-                or "Unable to infer schema" in msg
-                or "Path does not exist" in msg
-            ):
-                raise
+        else:
             schema = DOCUMENT_SCHEMA
     return (
         spark.readStream.schema(schema)

@@ -4,13 +4,11 @@ invariant, stage-granular resume, lineage metrics."""
 import json
 import os
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from cello_spark import oracle
 from cello_spark.plans.kg import build_kg_pipeline
-from cello_spark.sources.fixtures import QUALIFIER_SUFFIXES, term_id
 
 
 @pytest.fixture(scope="module")
@@ -33,22 +31,7 @@ def pipe(spark, tmp_path_factory, onto, small_world):
 
 def _golden_triples(onto, small_world, label_edges):
     """Frozen-oracle golden triples (FIXTURES.md F8)."""
-    probs = oracle.score_probs(small_world["features"], small_world["weights"])
-    rec = oracle.reconcile_all(probs, label_edges)
-    bins = oracle.binarize(rec, small_world["thresholds"], label_edges)
-    ms, fb = oracle.select_one_most_specific(
-        rec,
-        bins,
-        small_world["thresholds"],
-        label_edges,
-        qualifier_terms={term_id(s) for s in QUALIFIER_SUFFIXES},
-    )
-    live = onto.terms[~onto.terms.is_obsolete]
-    live_edges = onto.edges[
-        onto.edges.src.isin(live.term_id) & onto.edges.dst.isin(live.term_id)
-    ]
-    patched = pd.concat([live_edges, onto.patch_edges]).drop_duplicates()
-    return oracle.emit_triples(patched, ms, fb)
+    return oracle.golden_fixture_triples(onto, small_world, label_edges)
 
 
 def test_triples_pr_gate(pipe, onto, small_world, label_edges):
@@ -104,6 +87,48 @@ def test_resume_skips_completed_stages(spark, tmp_path, onto, small_world):
         manifest = json.load(f)
     assert all(
         manifest["stages"][n]["status"] == "complete" for n in by_name
+    )
+
+
+def test_resume_skip_path_clears_tmp_data_debris(
+    spark, tmp_path, onto, small_world
+):
+    """A resumed run over an already-complete stage must clear stale
+    `_tmp_data` crash debris (an interrupted writer whose commit DID
+    land) on the SKIP path and produce output identical to a clean
+    run (plans/pipeline.py exec_stage skip branch)."""
+    workdir = str(tmp_path / "resume_debris")
+    docs = spark.createDataFrame(small_world["documents"])
+    feats = spark.createDataFrame(small_world["features"])
+
+    def make():
+        return build_kg_pipeline(
+            spark, workdir, docs, feats, onto,
+            small_world["weights"], small_world["thresholds"],
+        )
+
+    make().run(stop_after="mentions")
+    # plant debris under a completed stage
+    debris = os.path.join(workdir, "mentions", "_tmp_data")
+    os.makedirs(debris, exist_ok=True)
+    with open(os.path.join(debris, "part-orphan.parquet"), "w") as f:
+        f.write("not a real parquet file")
+    r2 = make().run()
+    by_name = {s.name: s for s in r2}
+    assert by_name["mentions"].skipped
+    assert not os.path.exists(debris)
+    # a clean-workdir run produces the identical triple table
+    clean_dir = str(tmp_path / "resume_clean")
+    clean = build_kg_pipeline(
+        spark, clean_dir, docs, feats, onto,
+        small_world["weights"], small_world["thresholds"],
+    )
+    clean.run()
+    a = spark.read.parquet(os.path.join(workdir, "triples", "data"))
+    b = spark.read.parquet(os.path.join(clean_dir, "triples", "data"))
+    cols = ["subj", "pred", "obj"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
     )
 
 
