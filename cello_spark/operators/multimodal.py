@@ -5,10 +5,12 @@ all per-item compute is Arrow-batched (`mapInPandas`), partitioned by
 doc so media for one document co-locate. The decode kernel is
 pluggable via `decoder=`: `real_decoder` uses PIL when installed and
 otherwise a dependency-free builtin image decode (PNG 8-bit
-gray/RGB/RGBA + binary PPM/PGM, stdlib zlib only), so real image
-bytes decode even in codec-less containers; audio/video kinds still
-require ffmpeg/torchaudio and raise with guidance. `fake_decoder`
-(deterministic, hash-seeded) remains for hermetic plumbing tests.
+gray/RGB/RGBA/palette + binary PPM/PGM, stdlib zlib only), plus a
+stdlib-`wave` PCM WAV audio decode, so real image and audio bytes
+decode even in codec-less containers; video and compressed audio
+still require ffmpeg/torchaudio and raise with guidance.
+`fake_decoder` (deterministic, hash-seeded) remains for hermetic
+plumbing tests.
 
 Operators:
 - media_table_schema / attach_media : typed media rows from documents
@@ -79,10 +81,13 @@ Decoder = Callable[[bytes, str], np.ndarray]
 
 def _decode_png(content: bytes) -> np.ndarray:
     """Minimal PNG decode with only stdlib zlib: 8-bit grayscale /
-    RGB / RGBA, non-interlaced, all five scanline filters. Covers the
-    PNGs a data pipeline's thumbnails/figures actually are; anything
-    else (16-bit, palette, interlace) raises for the PIL path or an
-    explicit error."""
+    RGB / RGBA / palette (PLTE, with optional tRNS alpha),
+    non-interlaced, all five scanline filters. Covers the PNGs a data
+    pipeline's thumbnails/figures actually are; anything else (16-bit,
+    sub-8-bit palette, interlace) raises for the PIL path or an
+    explicit error. Palette images expand to RGB (RGBA when a tRNS
+    chunk is present) — the same expansion PIL's convert() applies, so
+    the two paths agree."""
     import struct
     import zlib
 
@@ -90,6 +95,7 @@ def _decode_png(content: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos, width = 8, None
     idat = b""
+    plte = trns = None
     while pos < len(content):
         (ln,) = struct.unpack(">I", content[pos : pos + 4])
         ctype = content[pos + 4 : pos + 8]
@@ -98,13 +104,22 @@ def _decode_png(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+            if depth != 8 or interlace != 0 or color not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    f"builtin PNG decode supports 8-bit gray/RGB/RGBA "
-                    f"non-interlaced; got depth={depth} color={color} "
-                    f"interlace={interlace} (install PIL for full coverage)"
+                    f"builtin PNG decode supports 8-bit gray/RGB/RGBA/"
+                    f"palette non-interlaced; got depth={depth} "
+                    f"color={color} interlace={interlace} "
+                    f"(install PIL for full coverage)"
                 )
-            nch = {0: 1, 2: 3, 6: 4}[color]
+            # palette scanlines carry 1 index byte per pixel; the
+            # palette lookup after unfiltering expands to RGB(A)
+            nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if ln % 3 != 0:
+                raise ValueError(f"PLTE length {ln} not divisible by 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -112,6 +127,8 @@ def _decode_png(content: bytes) -> np.ndarray:
         pos += 12 + ln
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(idat)
     stride = width * nch
     out = np.empty((height, stride), dtype=np.uint8)
@@ -145,7 +162,24 @@ def _decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ft}")
         out[y] = line
         prev = out[y]
-    return out.reshape(height, width, nch)
+    pixels = out.reshape(height, width, nch)
+    if color != 3:
+        return pixels
+    # palette expansion: indices → RGB rows of PLTE; tRNS (when
+    # present) supplies per-index alpha, defaulting to 255 for
+    # indices past its (legally shorter) length
+    idx = pixels[:, :, 0]
+    if idx.max(initial=0) >= len(plte):
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range "
+            f"(palette has {len(plte)} entries)"
+        )
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+    return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
 
 
 def _decode_ppm(content: bytes) -> np.ndarray:
@@ -183,6 +217,42 @@ def _decode_ppm(content: bytes) -> np.ndarray:
     return pix.reshape(h, w, nch).copy()
 
 
+def _decode_wav(content: bytes) -> np.ndarray:
+    """PCM WAV decode with only stdlib `wave`: 8-bit unsigned,
+    16/32-bit signed little-endian, any channel count. Returns shape
+    (1, n_frames, n_channels) — the audio row fits the decoder
+    contract with height=1, width=sample count, channels=channel
+    count — with the RAW stored sample values (uint8 for 8-bit,
+    int16/int32 for 16/32-bit; no recentering or normalization, so a
+    written file round-trips bit-for-bit). Compressed WAV (µ-law,
+    ADPCM) and 24-bit raise NotImplementedError — those genuinely
+    need ffmpeg/soundfile."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except wave.Error as ex:
+        raise NotImplementedError(
+            f"builtin WAV decode handles uncompressed PCM only "
+            f"({ex}); install ffmpeg/soundfile and pass a decoder "
+            f"wrapping it for compressed audio"
+        ) from ex
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(
+            f"builtin WAV decode supports 8/16/32-bit PCM, got "
+            f"{sw * 8}-bit (install soundfile for 24-bit)"
+        )
+    frames = len(raw) // (sw * nch)
+    arr = np.frombuffer(raw, dtype=dtype, count=frames * nch)
+    return arr.reshape(1, frames, nch)
+
+
 # probed ONCE at import: a failed `from PIL import ...` is NOT cached
 # by Python, so retrying per decoded row would pay a full sys.path
 # scan per item (~50us each — real money inside mapInPandas)
@@ -196,11 +266,20 @@ except Exception:  # noqa: BLE001 — probe semantics: "is PIL usable?"
 
 
 def real_decoder(content: bytes, kind: str) -> np.ndarray:
-    """Production decode hook. Tries PIL when installed (full format
-    coverage); otherwise falls back to the dependency-free builtin
-    decoders (PNG 8-bit gray/RGB/RGBA, binary PPM/PGM). Audio/video
-    codecs (ffmpeg/torchaudio) are genuinely unavailable without
-    external tools — those kinds raise with guidance."""
+    """Production decode hook. Images: PIL when installed (full format
+    coverage), else the dependency-free builtin decoders (PNG 8-bit
+    gray/RGB/RGBA/palette, binary PPM/PGM). Audio: builtin PCM WAV via
+    stdlib `wave` (shape (1, n_frames, n_channels), raw sample
+    values). Only video and compressed audio genuinely need external
+    codecs (ffmpeg/torchaudio) — those raise with guidance."""
+    if kind == "audio":
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return _decode_wav(content)
+        raise NotImplementedError(
+            "no codec for this audio payload: not a RIFF/WAVE container "
+            "(the builtin PCM WAV format); install ffmpeg/soundfile and "
+            "pass a decoder wrapping it"
+        )
     if kind not in ("image", "table"):
         raise NotImplementedError(
             f"decoding kind={kind!r} needs ffmpeg/torchaudio; install one "

@@ -268,3 +268,145 @@ def test_decode_ppm_crlf_header_and_truncation():
         M._decode_ppm(b"P6\n3 2")
     with _pytest.raises(ValueError):
         M._decode_ppm(b"P6 3 2 ")  # header cut + trailing whitespace
+
+
+def _palette_png_bytes(indices, palette, trns=None):
+    """Spec-conformant palette (color type 3) PNG encoder: index
+    scanlines (filter 0) + PLTE and optional tRNS chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_palette_png_matches_rgb_expansion():
+    """A palette PNG must decode to exactly the RGB expansion of its
+    indices (and RGBA when tRNS supplies per-index alpha) — the same
+    expansion PIL's convert() applies (_decode_png directly: the
+    contract pinned is the BUILTIN decoder's)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    got = M._decode_png(_palette_png_bytes(idx, palette))
+    assert got.shape == (5, 7, 3)
+    assert np.array_equal(got, palette[idx])
+    # tRNS shorter than the palette: listed indices get their alpha,
+    # the rest default to 255
+    trns = [10, 200, 255, 0]
+    got_a = M._decode_png(_palette_png_bytes(idx, palette, trns=trns))
+    assert got_a.shape == (5, 7, 4)
+    assert np.array_equal(got_a[:, :, :3], palette[idx])
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:4] = trns
+    assert np.array_equal(got_a[:, :, 3], alpha[idx])
+    # decode through the production hook too (routes to the builtin
+    # when PIL is absent; PIL produces the identical expansion)
+    got_hook = M.real_decoder(_palette_png_bytes(idx, palette), "image")
+    assert np.array_equal(got_hook, palette[idx])
+    # out-of-range index is a corrupt file, not a silent wrap
+    import pytest as _pytest
+
+    small = np.asarray([[0, 1], [2, 9]], dtype=np.uint8)
+    with _pytest.raises(ValueError):
+        M._decode_png(_palette_png_bytes(small, palette[:3]))
+
+
+def _wav_bytes(samples, sampwidth):
+    """PCM WAV encoder via stdlib wave; samples is (n_frames, n_ch)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def test_real_decoder_wav_roundtrip():
+    """Spec-conformant PCM WAV bytes round-trip through the builtin
+    audio decode: shape (1, n_frames, n_channels), RAW sample values
+    (uint8 / int16 / int32 by sample width), bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # 16-bit stereo
+    s16 = rng.integers(-32768, 32768, size=(50, 2)).astype("<i2")
+    got = M.real_decoder(_wav_bytes(s16, 2), "audio")
+    assert got.shape == (1, 50, 2)
+    assert np.array_equal(got[0], s16)
+    # 8-bit mono (WAV 8-bit is unsigned)
+    s8 = rng.integers(0, 256, size=(30, 1)).astype(np.uint8)
+    got = M.real_decoder(_wav_bytes(s8, 1), "audio")
+    assert got.shape == (1, 30, 1)
+    assert np.array_equal(got[0], s8)
+    # 32-bit mono
+    s32 = rng.integers(-(2**31), 2**31, size=(20, 1)).astype("<i4")
+    got = M.real_decoder(_wav_bytes(s32, 4), "audio")
+    assert got.shape == (1, 20, 1)
+    assert np.array_equal(got[0], s32)
+    # 24-bit and non-WAV audio stay explicitly unimplemented
+    import pytest as _pytest
+
+    s24 = rng.integers(0, 256, size=(10 * 3, 1)).astype(np.uint8)
+    with _pytest.raises(NotImplementedError):
+        M.real_decoder(_wav_bytes(s24, 3), "audio")
+    with _pytest.raises(NotImplementedError):
+        M.real_decoder(b"ID3\x04mp3-ish payload", "audio")
+    with _pytest.raises(NotImplementedError):
+        M.real_decoder(b"RIFF\x00\x00\x00\x00AVI LIST", "audio")
+
+
+def test_decode_media_with_real_wav_payloads(spark):
+    """End-to-end: real PCM WAV bytes through the Spark decode
+    plumbing (mapInPandas + real_decoder) as kind='audio'."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows, expect = [], {}
+    for i in range(4):
+        n = 40 + 10 * i
+        s = rng.integers(-32768, 32768, size=(n, 2)).astype("<i2")
+        expect[f"a{i}"] = (n, float(s.mean()))
+        rows.append(
+            {
+                "doc_id": f"d{i}",
+                "media_ref": f"a{i}",
+                "kind": "audio",
+                "content": bytearray(_wav_bytes(s, 2)),
+                "meta": {"mime": "audio/wav", "n_bytes": 0, "duration_ms": 0},
+            }
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    decoded = {
+        r.media_ref: r
+        for r in M.decode_media(media, decoder=M.real_decoder).collect()
+    }
+    for ref, (n, mean) in expect.items():
+        d = decoded[ref]
+        assert (d.height, d.width, d.channels) == (1, n, 2)
+        assert abs(d.mean_intensity - mean) < 1e-9
