@@ -375,3 +375,70 @@ def make_alias_pairs(onto: Ontology) -> pd.DataFrame:
             rows.append({"alias": x, "canonical": t.term_id})
         rows.append({"alias": t.name, "canonical": t.term_id})
     return pd.DataFrame(rows)
+
+
+def synthetic_obo_text(
+    id_space: str = "ZZ",
+    n_terms: int = 120,
+    seed: int = SEED,
+    xref_targets: list[str] | None = None,
+    overrides: list[dict] | None = None,
+) -> str:
+    """Deterministic synthetic OBO file in a fresh id space — the
+    third ontology project of the multi-OBO flagship (the reference
+    checkout only bundles CL + UO; its config-17-style loads merge
+    four projects, reference onto_lib_py3/load_ontology.py). The
+    generated DAG is a seeded tree with synonyms on every third term
+    and an obsolete term every 17th.
+
+    `xref_targets` distributes cross-space xrefs (e.g. CL ids) over
+    the first live terms round-robin — the input that makes the
+    canonicalization connected-components pass merge identities
+    ACROSS ontology projects. `overrides` appends [Term] stanzas
+    re-defining ids owned by EARLIER files in the merge list
+    (dicts: term_id, name, is_a list) — the later-file-wins
+    precedence probe; ontology_from_obos must keep THESE definitions
+    and drop the superseded files' edges for those ids."""
+    import numpy as np  # local: keep module import surface unchanged
+
+    rng = np.random.default_rng(seed + 7)
+    tid = lambda i: f"{id_space}:{i:07d}"  # noqa: E731
+    lines = ["format-version: 1.2", ""]
+    for i in range(n_terms):
+        lines.append("[Term]")
+        lines.append(f"id: {tid(i)}")
+        lines.append(f"name: {id_space.lower()} concept {i}")
+        if i > 0:
+            parent = int(rng.integers(0, i))
+            lines.append(f"is_a: {tid(parent)}")
+            if i % 5 == 0 and i > 5:
+                other = int(rng.integers(0, i))
+                if other != parent:
+                    lines.append(f"relationship: part_of {tid(other)}")
+        if i % 3 == 0:
+            lines.append(
+                f'synonym: "{id_space.lower()} alias {i}" EXACT []'
+            )
+        if i % 17 == 13:
+            lines.append("is_obsolete: true")
+        lines.append("")
+    if xref_targets:
+        # rewrite pass: attach xrefs to the first live terms (skip the
+        # root so the hub term stays unmerged)
+        out, ti, xi = [], -1, 0
+        for ln in lines:
+            out.append(ln)
+            if ln.startswith("name: ") and xi < len(xref_targets):
+                ti += 1
+                if ti >= 1 and (ti % 17) != 13:
+                    out.append(f"xref: {xref_targets[xi]}")
+                    xi += 1
+        lines = out
+    for ov in overrides or []:
+        lines.append("[Term]")
+        lines.append(f"id: {ov['term_id']}")
+        lines.append(f"name: {ov['name']}")
+        for p in ov.get("is_a", []):
+            lines.append(f"is_a: {p}")
+        lines.append("")
+    return "\n".join(lines)

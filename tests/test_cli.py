@@ -234,3 +234,118 @@ def test_ontology_from_obo_empty_and_typedef_only():
         "[Typedef]\nid: part_of\nname: part of\n"
     )
     assert typedef_only.labels == [] and len(typedef_only.edges) == 0
+
+
+REAL_OBO = "/root/reference/cello/onto_lib_py3/obo/CL.18-11-13.obo"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REAL_OBO), reason="reference OBO not present"
+)
+def test_cli_subprocess_kg_resume_predict_real_obo(spark, tmp_path, onto):
+    """Drive the CLI end-to-end AS A USER WOULD — three
+    `python -m cello_spark` SUBPROCESSES (not in-process main(argv)):
+    `kg` on a fresh workdir with the real Cell Ontology release the
+    reference bundles, a second `kg` that must resume (every stage
+    skipped, triple count unchanged), then `predict` from the same
+    written model bundle. Asserts the triple table, the manifest, and
+    the resume behave from the command line."""
+    import subprocess
+    import sys
+
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_thresholds,
+    )
+    from cello_spark.sources.ontology import ontology_from_obo
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(argv):
+        proc = subprocess.run(
+            [sys.executable, "-m", "cello_spark", *argv],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    with open(REAL_OBO) as f:
+        text = f.read()
+    labels = sorted(ontology_from_obo(text).labels)[:100]
+    real_onto = ontology_from_obo(text, labels=labels)
+    docs_pdf, feats_pdf, _ = make_documents(real_onto, n_docs=1000)
+    docs_path = str(tmp_path / "docs")
+    feats_path = str(tmp_path / "feats")
+    spark.createDataFrame(docs_pdf).write.parquet(docs_path)
+    spark.createDataFrame(feats_pdf).write.parquet(feats_path)
+
+    weights = make_model_weights(real_onto)
+    thresholds = make_thresholds(real_onto)
+    label_set = set(weights.label)
+    edges = [
+        (c, p)
+        for c, p, r in real_onto.edges[["src", "dst", "rel"]].itertuples(
+            index=False
+        )
+        if r == "is_a" and c in label_set and p in label_set
+    ]
+    bundle = str(tmp_path / "real_model")
+    save_model_bundle(bundle, weights, thresholds, GENES, edges)
+
+    work = str(tmp_path / "kgwork_real")
+    kg_args = [
+        "kg",
+        "--documents", docs_path,
+        "--features", feats_path,
+        "--obo", REAL_OBO,
+        "--model", bundle,
+        "--workdir", work,
+        "--cores", "8",
+        "--shuffle-partitions", "8",
+    ]
+    report = run_cli(kg_args)
+    assert report["triples"] > 0
+    assert not any(s["skipped"] for s in report["kg"])
+    triples = spark.read.parquet(os.path.join(work, "triples", "data"))
+    assert triples.count() == report["triples"]
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert "rdf:type" in preds and "is_a" in preds
+    with open(os.path.join(work, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert all(
+        s["status"] == "complete" for s in manifest["stages"].values()
+    )
+
+    # resume from the command line: all stages skipped, count unchanged
+    report2 = run_cli(kg_args)
+    assert all(s["skipped"] for s in report2["kg"])
+    assert report2["triples"] == report["triples"]
+
+    # predict from the same bundle the kg run used
+    csv_path = str(tmp_path / "expr_real.csv")
+    with open(csv_path, "w") as f:
+        f.write("sample," + ",".join(GENES) + "\n")
+        for r in feats_pdf.head(50).itertuples(index=False):
+            f.write(
+                str(r.doc_id) + ","
+                + ",".join(repr(v) for v in r.features) + "\n"
+            )
+    out_dir = str(tmp_path / "predict_real")
+    report3 = run_cli(
+        [
+            "predict",
+            "--data", csv_path,
+            "--format", "csv",
+            "--units", "LOG1_TPM",
+            "--model", bundle,
+            "--output", out_dir,
+            "--cores", "8",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert report3["predict"]["probability"] == 50 * len(labels)
+    assert report3["predict"]["most_specific"] == 50

@@ -299,3 +299,75 @@ name: b
     got = {(e["src"], e["dst"]) for e in edges}
     assert ("CS:1", "CS:B") in got
     assert ("CS:1", "CS:A") not in got  # superseded stanza's edge gone
+
+
+def test_three_way_merge_precedence_and_cross_space_xrefs():
+    """Three-project merge (the config-17-style load shape): the
+    LAST file's re-definitions win over both earlier files — name AND
+    edges — while cross-space xrefs from the third id space survive
+    the merge and put the xref-ed terms into shared canonicalization
+    components."""
+    from cello_spark import oracle
+    from cello_spark.plans.kg import prepare_ontology
+    from cello_spark.sources.fixtures import synthetic_obo_text
+    from cello_spark.sources.ontology import ontology_from_obos
+
+    f1 = "\n".join(
+        [
+            "format-version: 1.2", "",
+            "[Term]", "id: AA:0000001", "name: aa root", "",
+            "[Term]", "id: AA:0000002", "name: aa child",
+            "is_a: AA:0000001", "",
+            "[Term]", "id: AA:0000003", "name: aa other",
+            "is_a: AA:0000001", "",
+        ]
+    )
+    f2 = "\n".join(
+        [
+            "format-version: 1.2", "",
+            "[Term]", "id: BB:0000001", "name: bb root", "",
+            # second file also re-defines AA:0000003 — but file 3
+            # must override THIS re-definition too
+            "[Term]", "id: AA:0000003", "name: aa other (bb revision)",
+            "is_a: BB:0000001", "",
+        ]
+    )
+    f3 = synthetic_obo_text(
+        id_space="ZZ",
+        n_terms=12,
+        xref_targets=["AA:0000002"],
+        overrides=[
+            {
+                "term_id": "AA:0000003",
+                "name": "aa other (zz revision)",
+                "is_a": ["ZZ:0000000"],
+            }
+        ],
+    )
+    onto = ontology_from_obos([f1, f2, f3])
+    by_id = dict(zip(onto.terms.term_id, onto.terms.name))
+    # later-file-wins through BOTH earlier definitions
+    assert by_id["AA:0000003"] == "aa other (zz revision)"
+    e = {(r.src, r.dst, r.rel) for r in onto.edges.itertuples(index=False)}
+    assert ("AA:0000003", "ZZ:0000000", "is_a") in e
+    # the superseded files' edges for the overridden id are dropped
+    assert ("AA:0000003", "AA:0000001", "is_a") not in e
+    assert ("AA:0000003", "BB:0000001", "is_a") not in e
+    # non-overridden terms from every space survive
+    assert "AA:0000002" in by_id and "BB:0000001" in by_id
+    assert "ZZ:0000005" in by_id
+    # cross-space xref: the ZZ term carrying xref AA:0000002 lands in
+    # the same canonicalization component as the AA term
+    prep = prepare_ontology(onto, term_prefix="AA:")
+    m = dict(zip(prep["canonical_map"].node, prep["canonical_map"].canonical))
+    zz_with_xref = [
+        t.term_id
+        for t in onto.terms.itertuples(index=False)
+        if "AA:0000002" in list(t.xrefs)
+    ]
+    assert zz_with_xref, "xref was not attached"
+    assert m[zz_with_xref[0]] == m["AA:0000002"] == "AA:0000002"
+    # the shared-component membership matches the pure oracle CC
+    pairs = [(zz_with_xref[0], "AA:0000002")]
+    cc = oracle.connected_components(pairs)
+    assert cc[zz_with_xref[0]] == cc["AA:0000002"]
