@@ -74,7 +74,26 @@ def _normalize(s: str) -> str:
     return " ".join(s.lower().translate(_NORM_TABLE).split())
 
 
-def prepare_ontology(onto: Ontology, term_prefix: str = TERM_PREFIX) -> dict[str, pd.DataFrame]:
+def _prefix_tuple(term_prefix) -> tuple[str, ...]:
+    """Normalize the term-prefix parameter: a single id-space prefix
+    ('CS:') or several ('CL:', 'UO:', 'ZZ:') for config-17-style
+    multi-project ontologies, where canonical ids may live in ANY of
+    the merged id spaces."""
+    return (term_prefix,) if isinstance(term_prefix, str) else tuple(term_prefix)
+
+
+def _starts_with_any(col: str, prefixes: tuple[str, ...]):
+    """Spark predicate: column starts with any of the prefixes
+    (Column.startswith only accepts one string)."""
+    e = F.col(col).startswith(prefixes[0])
+    for p in prefixes[1:]:
+        e = e | F.col(col).startswith(p)
+    return e
+
+
+def prepare_ontology(
+    onto: Ontology, term_prefix: str | tuple[str, ...] = TERM_PREFIX
+) -> dict[str, pd.DataFrame]:
     """Pandas equivalents of the ontology ingest transforms (obsolete
     filter, patch union, inverse-edge synthesis — reference
     the_ontology.py:106-148, ontology_graph.py:344-387/585-593), the
@@ -119,7 +138,10 @@ def prepare_ontology(onto: Ontology, term_prefix: str = TERM_PREFIX) -> dict[str
     )
 
     # canonicalization: components over term ↔ alias/xref strings;
-    # canonical = min member with the ontology prefix, else min member
+    # canonical = min member with an ontology prefix, else min member
+    # (multi-prefix: a cross-space xref component canonicalizes to its
+    # lexicographically-first term id across the merged id spaces)
+    prefixes = _prefix_tuple(term_prefix)
     pairs = [(r.term_id, r.alias_norm) for r in alias_dict.itertuples(index=False)]
     for t in live.itertuples(index=False):
         for x in t.xrefs:
@@ -130,7 +152,7 @@ def prepare_ontology(onto: Ontology, term_prefix: str = TERM_PREFIX) -> dict[str
         members.setdefault(c, []).append(node)
     canon_rows = []
     for c, nodes in members.items():
-        terms = sorted(n for n in nodes if n.startswith(term_prefix))
+        terms = sorted(n for n in nodes if n.startswith(prefixes))
         canonical = terms[0] if terms else min(nodes)
         canon_rows.extend((n, canonical) for n in nodes)
     canonical_map = pd.DataFrame(
@@ -179,12 +201,17 @@ def make_linking_model(
     )
 
 
-def merged_term_set(canonical_map: pd.DataFrame, term_prefix: str = TERM_PREFIX) -> list[str]:
+def merged_term_set(
+    canonical_map: pd.DataFrame,
+    term_prefix: str | tuple[str, ...] = TERM_PREFIX,
+) -> list[str]:
     """Terms whose canonicalization MERGES identities (map to a
     different term, or are such a merge's target): only triples
     touching these can become duplicates under the canonical rewrite —
     see canonical_rewrite_triples."""
-    terms = canonical_map[canonical_map.node.str.startswith(term_prefix)]
+    terms = canonical_map[
+        canonical_map.node.str.startswith(_prefix_tuple(term_prefix))
+    ]
     m = terms[terms.node != terms.canonical]
     return sorted(set(m.node) | set(m.canonical))
 
@@ -199,6 +226,7 @@ def build_kg_pipeline(
     thresholds_pdf: pd.DataFrame,
     n_buckets: int = 32,
     include_media_triples: bool = False,
+    term_prefix: str | tuple[str, ...] = TERM_PREFIX,
 ) -> Pipeline:
     """Staged KG-construction pipeline (see module docstring).
 
@@ -208,11 +236,16 @@ def build_kg_pipeline(
     operators/multimodal.py media_triples), canonical-rewritten with
     the same mapping as the main triples output. Off by default so
     the headline triples artifact (and every bench baseline) is
-    byte-identical with or without the feature."""
+    byte-identical with or without the feature.
+
+    term_prefix names the ontology id space(s): pass a tuple (e.g.
+    ('CL:', 'UO:', 'ZZ:')) for config-17-style multi-project merges so
+    cross-space xref components canonicalize (and rewrite) across all
+    of them."""
     raw_features = features  # pre-repartition plan: cheap count source
     documents = _ensure_parallelism(documents, spark)
     features = _ensure_parallelism(features, spark)
-    prep = prepare_ontology(onto)
+    prep = prepare_ontology(onto, term_prefix=term_prefix)
     model = make_linking_model(onto, weights_pdf, thresholds_pdf)
 
     pipe = Pipeline(spark, workdir)
@@ -353,7 +386,7 @@ def build_kg_pipeline(
         gated = features.join(mentioned, "doc_id", "left_semi")
         return link_documents(gated, model, emit_scores=False)
 
-    merged_terms = merged_term_set(prep["canonical_map"])
+    merged_terms = merged_term_set(prep["canonical_map"], term_prefix=term_prefix)
 
     def stage_triples(ctx: dict) -> DataFrame:
         linked = ctx["linked"]
@@ -371,7 +404,9 @@ def build_kg_pipeline(
             )
             linked = linked.join(mentioned, "doc_id", "left_semi")
         raw = ctx["onto_triples"].unionByName(typing_triples(linked))
-        return canonical_rewrite_triples(raw, ctx["canonical_map"], merged_terms)
+        return canonical_rewrite_triples(
+            raw, ctx["canonical_map"], merged_terms, term_prefix=term_prefix
+        )
 
     # CELLO_STAGE_OVERLAP=0 forces sequential stage execution (deps =
     # all earlier stages) with identical stage bodies — the A/B lever
@@ -381,7 +416,9 @@ def build_kg_pipeline(
 
         alias_df = spark.createDataFrame(prep["alias_dict"])
         raw = _mt(documents, alias_df)
-        return canonical_rewrite_triples(raw, ctx["canonical_map"], merged_terms)
+        return canonical_rewrite_triples(
+            raw, ctx["canonical_map"], merged_terms, term_prefix=term_prefix
+        )
 
     overlap = _os.environ.get("CELLO_STAGE_OVERLAP", "1") != "0"
     if overlap:
@@ -444,7 +481,7 @@ def canonical_rewrite_triples(
     canonical_map: DataFrame,  # (node, canonical) — dict-sized
     merged_terms: list[str],  # terms that merge under canonicalization
     max_literal_map: int = 128,
-    term_prefix: str = TERM_PREFIX,
+    term_prefix: str | tuple[str, ...] = TERM_PREFIX,
 ) -> DataFrame:
     """Rewrite subj/obj to canonical ids and dedup ONLY where the
     rewrite can create duplicates.
@@ -480,7 +517,7 @@ def canonical_rewrite_triples(
     size."""
     nonid = canonical_map.filter(
         (F.col("node") != F.col("canonical"))
-        & F.col("node").startswith(term_prefix)
+        & _starts_with_any("node", _prefix_tuple(term_prefix))
     )
     head = nonid.limit(max_literal_map + 1).collect()
     if not head:
@@ -539,14 +576,21 @@ def canonical_rewrite_triples(
     )
 
 
-def canonical_mapping(components: DataFrame, term_prefix: str = TERM_PREFIX) -> DataFrame:
+def canonical_mapping(
+    components: DataFrame,
+    term_prefix: str | tuple[str, ...] = TERM_PREFIX,
+) -> DataFrame:
     """Distributed variant of the canonical-id rule (used when the
     alias graph exceeds driver scale): per component, canonical = min
-    member with the ontology prefix, else min member."""
+    member with an ontology prefix (any of them in a multi-project
+    merge), else min member."""
     ranked = components.groupBy("component").agg(
-        F.min(F.when(F.col("node").startswith(term_prefix), F.col("node"))).alias(
-            "canon_term"
-        ),
+        F.min(
+            F.when(
+                _starts_with_any("node", _prefix_tuple(term_prefix)),
+                F.col("node"),
+            )
+        ).alias("canon_term"),
         F.min("node").alias("canon_any"),
     )
     return components.join(ranked, "component").select(
