@@ -1261,7 +1261,14 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"features": feats, "weights": weights, "thresholds": thresholds},
         label_edges,
     )
-    return triple_pr(pipe.output("triples"), spark.createDataFrame(golden))
+    out = triple_pr(pipe.output("triples"), spark.createDataFrame(golden))
+    # triple_pr materializes its counts eagerly (.first()), so the
+    # returned one-row DataFrame is a literal localRelation — the
+    # pipeline workdir is no longer referenced and can be removed
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 # q_kg_chain constants: a small alias dictionary mapping document
