@@ -561,3 +561,97 @@ def test_compact_table_recovers_from_crash_debris(spark, tmp_path):
     compact_table(spark, path, target_file_bytes=1 << 30)
     assert spark.read.parquet(path).count() == 100
     assert not os.path.exists(path + ".__compact_old")
+
+
+def test_pipeline_multi_prefix_cross_space_canonicalization(
+    spark, tmp_path
+):
+    """End-to-end multi-project pipeline path (term_prefix as a
+    TUPLE): two synthetic id spaces where file 2 carries cross-space
+    xrefs into file 1. The canonical rewrite must fire across spaces
+    — every YY term whose xref lands it in an XX component is
+    rewritten to the XX id in the triple table — and triples must
+    exactly equal the oracle's golden triples after the same rewrite
+    (the engine-independent rule: components over alias/xref pairs,
+    min prefixed member canonical)."""
+    from cello_spark import oracle
+    from cello_spark.plans.kg import build_kg_pipeline, prepare_ontology
+    from cello_spark.sources.fixtures import (
+        make_documents,
+        make_model_weights,
+        make_thresholds,
+        synthetic_obo_text,
+    )
+    from cello_spark.sources.ontology import ontology_from_obos
+
+    f1 = synthetic_obo_text(id_space="XX", n_terms=40, seed=3)
+    f2 = synthetic_obo_text(
+        id_space="YY",
+        n_terms=30,
+        seed=4,
+        xref_targets=[f"XX:{i:07d}" for i in range(20, 26)],
+    )
+    onto = ontology_from_obos([f1, f2])
+    prefixes = ("XX:", "YY:")
+    docs_pdf, feats_pdf, _ = make_documents(onto, n_docs=80)
+    weights = make_model_weights(onto)
+    thresholds = make_thresholds(onto)
+    pipe = build_kg_pipeline(
+        spark,
+        str(tmp_path / "mp"),
+        spark.createDataFrame(docs_pdf),
+        spark.createDataFrame(feats_pdf),
+        onto,
+        weights,
+        thresholds,
+        term_prefix=prefixes,
+    )
+    pipe.run()
+    got = pipe.output("triples").toPandas()
+
+    # the canonical map must contain cross-space merges, and no merged
+    # YY source may survive in the triple table
+    cmap = prepare_ontology(onto, term_prefix=prefixes)["canonical_map"]
+    merges = {
+        r.node: r.canonical
+        for r in cmap.itertuples(index=False)
+        if r.node.startswith("YY:") and r.canonical.startswith("XX:")
+    }
+    assert merges, "fixture produced no cross-space merges"
+    present = set(got.subj) | set(got.obj)
+    assert not (set(merges) & present), set(merges) & present
+
+    # exact equality with the rewritten golden triples
+    lab_set = set(onto.labels)
+    label_edges = [
+        (c, p)
+        for c, p, r in onto.edges[["src", "dst", "rel"]].itertuples(index=False)
+        if r == "is_a" and c in lab_set and p in lab_set
+    ]
+    probs = oracle.score_probs(feats_pdf, weights)
+    rec = oracle.reconcile_all(probs, label_edges)
+    bins = oracle.binarize(rec, thresholds, label_edges)
+    ms, fb = oracle.select_one_most_specific(
+        rec, bins, thresholds, label_edges, qualifier_terms=set()
+    )
+    live = onto.terms[~onto.terms.is_obsolete.astype(bool)]
+    live_edges = onto.edges[
+        onto.edges.src.isin(set(live.term_id))
+        & onto.edges.dst.isin(set(live.term_id))
+    ]
+    import pandas as pd
+
+    patched = pd.concat([live_edges, onto.patch_edges]).drop_duplicates()
+    want = oracle.emit_triples(patched, ms, fb)
+    rw = {
+        r.node: r.canonical
+        for r in cmap.itertuples(index=False)
+        if r.node.startswith(prefixes) and r.node != r.canonical
+    }
+    want = want.assign(
+        subj=want.subj.map(lambda s: rw.get(s, s)),
+        obj=want.obj.map(lambda s: rw.get(s, s)),
+    ).drop_duplicates()
+    g = {tuple(r) for r in got[["subj", "pred", "obj"]].itertuples(index=False)}
+    w = {tuple(r) for r in want[["subj", "pred", "obj"]].itertuples(index=False)}
+    assert g == w, (len(g - w), len(w - g), sorted(g - w)[:5], sorted(w - g)[:5])
