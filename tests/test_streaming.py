@@ -372,3 +372,26 @@ def test_ingest_starts_on_empty_directory(spark, world, tmp_path):
         spark.createDataFrame(batch1), alias_df, distinct=False
     )
     assert got.count() == want.count()
+
+
+def test_dir_has_data_files_semantics(spark, tmp_path):
+    """The empty-ingest-dir probe (schema-fallback gate) must treat
+    missing dirs, empty dirs, and marker-only dirs (_SUCCESS, .crc,
+    zero-byte files) as 'no data', and any non-empty data file —
+    including in a subdirectory — as data."""
+    from cello_spark.streaming.ingest import _dir_has_data_files
+
+    d = str(tmp_path / "probe")
+    assert not _dir_has_data_files(spark, d)  # missing
+    os.makedirs(d)
+    assert not _dir_has_data_files(spark, d)  # empty
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    open(os.path.join(d, ".part-0.crc"), "w").close()
+    with open(os.path.join(d, "empty-part.parquet"), "w"):
+        pass  # zero bytes
+    assert not _dir_has_data_files(spark, d)  # markers only
+    sub = os.path.join(d, "batch-0")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0.parquet"), "w") as f:
+        f.write("x")
+    assert _dir_has_data_files(spark, d)  # real data, recursive
