@@ -4,9 +4,9 @@ Media travel as opaque `binary` columns with typed metadata structs;
 all per-item compute is Arrow-batched (`mapInPandas`), partitioned by
 doc so media for one document co-locate. The decode kernel is
 pluggable via `decoder=`: `real_decoder` uses PIL when installed and
-otherwise a dependency-free builtin image decode (PNG 8-bit
-gray/RGB/RGBA/palette + binary PPM/PGM, stdlib zlib only), plus a
-stdlib-`wave` PCM WAV audio decode, so real image and audio bytes
+otherwise a dependency-free builtin image decode (PNG 8/16-bit
+gray/RGB/RGBA + 8-bit palette + binary PPM/PGM, stdlib zlib only),
+plus a stdlib-`wave` PCM WAV audio decode, so real image and audio bytes
 decode even in codec-less containers; video and compressed audio
 still require ffmpeg/torchaudio and raise with guidance.
 `fake_decoder` (deterministic, hash-seeded) remains for hermetic
@@ -80,14 +80,16 @@ Decoder = Callable[[bytes, str], np.ndarray]
 
 
 def _decode_png(content: bytes) -> np.ndarray:
-    """Minimal PNG decode with only stdlib zlib: 8-bit grayscale /
-    RGB / RGBA / palette (PLTE, with optional tRNS alpha),
-    non-interlaced, all five scanline filters. Covers the PNGs a data
-    pipeline's thumbnails/figures actually are; anything else (16-bit,
-    sub-8-bit palette, interlace) raises for the PIL path or an
-    explicit error. Palette images expand to RGB (RGBA when a tRNS
-    chunk is present) — the same expansion PIL's convert() applies, so
-    the two paths agree."""
+    """Minimal PNG decode with only stdlib zlib: 8- and 16-bit
+    grayscale / RGB / RGBA, 8-bit palette (PLTE, with optional tRNS
+    alpha), non-interlaced, all five scanline filters. Covers the
+    PNGs a data pipeline's thumbnails/figures actually are; anything
+    else (sub-8-bit, interlace) raises for the PIL path or an explicit
+    error. Palette images expand to RGB (RGBA when a tRNS chunk is
+    present) — the same expansion PIL's convert() applies, so the two
+    paths agree. 16-bit samples are reduced to their HIGH byte
+    (val >> 8): the decoder's output contract is uint8 pixels
+    everywhere, matching the normalization the PIL branch applies."""
     import struct
     import zlib
 
@@ -104,11 +106,14 @@ def _decode_png(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or interlace != 0 or color not in (0, 2, 3, 6):
+            ok = (depth == 8 and color in (0, 2, 3, 6)) or (
+                depth == 16 and color in (0, 2, 6)
+            )
+            if not ok or interlace != 0:
                 raise NotImplementedError(
-                    f"builtin PNG decode supports 8-bit gray/RGB/RGBA/"
-                    f"palette non-interlaced; got depth={depth} "
-                    f"color={color} interlace={interlace} "
+                    f"builtin PNG decode supports 8/16-bit gray/RGB/"
+                    f"RGBA + 8-bit palette, non-interlaced; got "
+                    f"depth={depth} color={color} interlace={interlace} "
                     f"(install PIL for full coverage)"
                 )
             # palette scanlines carry 1 index byte per pixel; the
@@ -130,7 +135,10 @@ def _decode_png(content: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(idat)
-    stride = width * nch
+    # PNG filters operate on BYTES with a left-offset of the pixel's
+    # byte width — nch bytes at depth 8, 2*nch at depth 16
+    bpp = nch * (depth // 8)
+    stride = width * bpp
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -145,14 +153,14 @@ def _decode_png(content: bytes) -> np.ndarray:
         elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-scan
             rec = line.astype(np.int32)
             for x in range(stride):
-                a = rec[x - nch] if x >= nch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = int(prev[x])
                 if ft == 1:
                     rec[x] = (rec[x] + a) & 0xFF
                 elif ft == 3:
                     rec[x] = (rec[x] + (a + b) // 2) & 0xFF
                 else:
-                    c = int(prev[x - nch]) if x >= nch else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -162,7 +170,11 @@ def _decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ft}")
         out[y] = line
         prev = out[y]
-    pixels = out.reshape(height, width, nch)
+    if depth == 16:
+        # big-endian sample pairs → high byte (uint8 output contract)
+        pixels = out.reshape(height, width, nch, 2)[:, :, :, 0].copy()
+    else:
+        pixels = out.reshape(height, width, nch)
     if color != 3:
         return pixels
     # palette expansion: indices → RGB rows of PLTE; tRNS (when
@@ -267,8 +279,8 @@ except Exception:  # noqa: BLE001 — probe semantics: "is PIL usable?"
 
 def real_decoder(content: bytes, kind: str) -> np.ndarray:
     """Production decode hook. Images: PIL when installed (full format
-    coverage), else the dependency-free builtin decoders (PNG 8-bit
-    gray/RGB/RGBA/palette, binary PPM/PGM). Audio: builtin PCM WAV via
+    coverage), else the dependency-free builtin decoders (PNG 8/16-bit
+    gray/RGB/RGBA + 8-bit palette, binary PPM/PGM). Audio: builtin PCM WAV via
     stdlib `wave` (shape (1, n_frames, n_channels), raw sample
     values). Only video and compressed audio genuinely need external
     codecs (ffmpeg/torchaudio) — those raise with guidance."""

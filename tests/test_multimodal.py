@@ -410,3 +410,97 @@ def test_decode_media_with_real_wav_payloads(spark):
         d = decoded[ref]
         assert (d.height, d.width, d.channels) == (1, n, 2)
         assert abs(d.mean_intensity - mean) < 1e-9
+
+
+def _png16_bytes(pixels16, filters=None):
+    """16-bit PNG encoder (stdlib only): big-endian samples, per-row
+    filter types applied at BYTE level with the 16-bit pixel byte
+    width as the left offset — exactly the spec's filter model."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels16, dtype=">u2")
+    h, w, nch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[nch]
+    bpp = 2 * nch
+    filters = filters or [0] * h
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    flat = np.frombuffer(px.tobytes(), np.uint8).reshape(
+        h, w * bpp
+    ).astype(np.int32)
+    raw = b""
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y, ft in zip(range(h), filters):
+        line = flat[y]
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - left) & 0xFF
+        elif ft == 2:
+            enc = (line - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            enc = np.empty_like(line)
+            for x in range(w * bpp):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_16bit_high_byte_reduction():
+    """16-bit PNGs decode through all five filters with the 16-bit
+    byte-pair filter offset, reducing each sample to its high byte
+    (the decoder's uint8 output contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for nch in (1, 3, 4):
+        px = rng.integers(0, 65536, size=(6, 5, nch)).astype(">u2")
+        content = _png16_bytes(px, filters=[0, 1, 2, 3, 4, 2])
+        got = M._decode_png(content)
+        assert got.shape == (6, 5, nch)
+        assert got.dtype == np.uint8
+        assert np.array_equal(got, (px >> 8).astype(np.uint8)), f"nch={nch}"
+    # sub-8-bit still raises explicitly
+    import struct
+    import zlib
+    import pytest as _pytest
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x11\x00\x22"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        M._decode_png(bad)
