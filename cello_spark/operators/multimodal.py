@@ -79,72 +79,36 @@ FEATURES_SCHEMA = T.StructType(
 Decoder = Callable[[bytes, str], np.ndarray]
 
 
-def _decode_png(content: bytes) -> np.ndarray:
-    """Minimal PNG decode with only stdlib zlib: 8- and 16-bit
-    grayscale / RGB / RGBA, 8-bit palette (PLTE, with optional tRNS
-    alpha), non-interlaced, all five scanline filters. Covers the
-    PNGs a data pipeline's thumbnails/figures actually are; anything
-    else (sub-8-bit, interlace) raises for the PIL path or an explicit
-    error. Palette images expand to RGB (RGBA when a tRNS chunk is
-    present) — the same expansion PIL's convert() applies, so the two
-    paths agree. 16-bit samples are reduced to their HIGH byte
-    (val >> 8): the decoder's output contract is uint8 pixels
-    everywhere, matching the normalization the PIL branch applies."""
-    import struct
-    import zlib
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos, width = 8, None
-    idat = b""
-    plte = trns = None
-    while pos < len(content):
-        (ln,) = struct.unpack(">I", content[pos : pos + 4])
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + ln]
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            ok = (depth == 8 and color in (0, 2, 3, 6)) or (
-                depth == 16 and color in (0, 2, 6)
-            )
-            if not ok or interlace != 0:
-                raise NotImplementedError(
-                    f"builtin PNG decode supports 8/16-bit gray/RGB/"
-                    f"RGBA + 8-bit palette, non-interlaced; got "
-                    f"depth={depth} color={color} interlace={interlace} "
-                    f"(install PIL for full coverage)"
-                )
-            # palette scanlines carry 1 index byte per pixel; the
-            # palette lookup after unfiltering expands to RGB(A)
-            nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-        elif ctype == b"PLTE":
-            if ln % 3 != 0:
-                raise ValueError(f"PLTE length {ln} not divisible by 3")
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif ctype == b"tRNS":
-            trns = np.frombuffer(data, np.uint8)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    raw = zlib.decompress(idat)
-    # PNG filters operate on BYTES with a left-offset of the pixel's
-    # byte width — nch bytes at depth 8, 2*nch at depth 16
-    bpp = nch * (depth // 8)
-    stride = width * bpp
+
+def _png_unfilter(
+    raw: bytes, offset: int, height: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reverse the five PNG scanline filters over `height` rows of
+    `stride` bytes starting at `offset` in the decompressed stream
+    (filters act on bytes with a left-offset of `bpp`, the pixel's
+    byte width). Returns (rows array (height, stride), bytes
+    consumed) — the consumed count lets Adam7 walk its seven
+    concatenated sub-images."""
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ft = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        if base + 1 + stride > len(raw):
+            raise ValueError("PNG data truncated")
+        ft = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).copy()
         if ft == 0:
             pass
@@ -170,6 +134,89 @@ def _decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ft}")
         out[y] = line
         prev = out[y]
+    return out, height * (stride + 1)
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Minimal PNG decode with only stdlib zlib: 8- and 16-bit
+    grayscale / RGB / RGBA, 8-bit palette (PLTE, with optional tRNS
+    alpha), plain or Adam7-interlaced, all five scanline filters.
+    Covers the PNGs a data pipeline's thumbnails/figures actually
+    are; only sub-8-bit files raise for the PIL path or an explicit
+    error. Palette images expand to RGB (RGBA when a tRNS chunk is
+    present) — the same expansion PIL's convert() applies, so the two
+    paths agree. 16-bit samples are reduced to their HIGH byte
+    (val >> 8): the decoder's output contract is uint8 pixels
+    everywhere, matching the normalization the PIL branch applies."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    plte = trns = None
+    while pos < len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            ok = (depth == 8 and color in (0, 2, 3, 6)) or (
+                depth == 16 and color in (0, 2, 6)
+            )
+            if not ok or interlace not in (0, 1):
+                raise NotImplementedError(
+                    f"builtin PNG decode supports 8/16-bit gray/RGB/"
+                    f"RGBA + 8-bit palette (plain or Adam7); got "
+                    f"depth={depth} color={color} interlace={interlace} "
+                    f"(install PIL for sub-8-bit)"
+                )
+            # palette scanlines carry 1 index byte per pixel; the
+            # palette lookup after unfiltering expands to RGB(A)
+            nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if ln % 3 != 0:
+                raise ValueError(f"PLTE length {ln} not divisible by 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(idat)
+    # PNG filters operate on BYTES with a left-offset of the pixel's
+    # byte width — nch bytes at depth 8, 2*nch at depth 16
+    bpp = nch * (depth // 8)
+    if interlace == 0:
+        planes, used = _png_unfilter(raw, 0, height, width * bpp, bpp)
+        out = planes
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid; empty passes contribute no bytes
+        out = np.empty((height, width * bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+            offset += used
+            sub = sub.reshape(ph, pw, bpp)
+            ys = np.arange(y0, height, dy)
+            xs = np.arange(x0, width, dx)
+            grid = out.reshape(height, width, bpp)
+            grid[np.ix_(ys, xs)] = sub
+        out = out.reshape(height, width * bpp)
     if depth == 16:
         # big-endian sample pairs → high byte (uint8 output contract)
         pixels = out.reshape(height, width, nch, 2)[:, :, :, 0].copy()

@@ -504,3 +504,92 @@ def test_decode_png_16bit_high_byte_reduction():
     )
     with _pytest.raises(NotImplementedError):
         M._decode_png(bad)
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_png_bytes(px, depth=8, palette=None, pass_filter=0):
+    """Adam7-interlaced PNG encoder (stdlib only): seven sub-images,
+    each row filtered with `pass_filter` (0=None or 2=Up) per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if palette is not None:
+        idx = np.asarray(px, dtype=np.uint8)
+        h, w = idx.shape
+        color, nch, planes = 3, 1, idx[:, :, None]
+    else:
+        arr = np.asarray(px)
+        h, w, nch = arr.shape
+        color = {1: 0, 3: 2, 4: 6}[nch]
+        planes = arr
+    bpp = nch * (depth // 8)
+    if depth == 16:
+        byte_grid = np.frombuffer(
+            np.ascontiguousarray(planes.astype(">u2")).tobytes(), np.uint8
+        ).reshape(h, w, bpp)
+    else:
+        byte_grid = np.ascontiguousarray(planes.astype(np.uint8)).reshape(
+            h, w, bpp
+        )
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        ys = list(range(y0, h, dy))
+        xs = list(range(x0, w, dx))
+        if not ys or not xs:
+            continue
+        prev = np.zeros(len(xs) * bpp, dtype=np.int32)
+        for y in ys:
+            line = byte_grid[y, xs].reshape(-1).astype(np.int32)
+            if pass_filter == 0:
+                enc = line
+            else:  # Up
+                enc = (line - prev) & 0xFF
+            raw += bytes([pass_filter]) + enc.astype(np.uint8).tobytes()
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7-interlaced PNGs decode identically to their plain pixel
+    grid: odd sizes (partial/empty passes), every color type, 16-bit,
+    palette, and a non-trivial per-pass filter."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    for (h, w), nch, pf in [
+        ((8, 8), 3, 0),
+        ((5, 7), 1, 0),
+        ((1, 1), 4, 0),
+        ((2, 3), 3, 0),
+        ((9, 10), 4, 2),
+    ]:
+        px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        got = M._decode_png(_adam7_png_bytes(px, pass_filter=pf))
+        assert np.array_equal(got, px), (h, w, nch, pf)
+    # 16-bit interlaced → high-byte reduction
+    px16 = rng.integers(0, 65536, size=(6, 5, 3)).astype(">u2")
+    got = M._decode_png(_adam7_png_bytes(px16, depth=16))
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+    # palette interlaced → RGB expansion
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(7, 6), dtype=np.uint8)
+    got = M._decode_png(_adam7_png_bytes(idx, palette=palette))
+    assert np.array_equal(got, palette[idx])
