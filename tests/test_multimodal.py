@@ -593,3 +593,21 @@ def test_decode_png_adam7_interlaced():
     idx = rng.integers(0, 8, size=(7, 6), dtype=np.uint8)
     got = M._decode_png(_adam7_png_bytes(idx, palette=palette))
     assert np.array_equal(got, palette[idx])
+
+
+def test_decode_png_randomized_filter_sweep():
+    """Seeded randomized round-trip sweep: random shapes, channel
+    counts, and PER-ROW filter mixes (the fixed-filter tests cover
+    each branch; this covers branch INTERACTIONS — e.g. Paeth reading
+    a Sub-reconstructed previous row)."""
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    for _ in range(12):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        nch = int(rng.choice([1, 3, 4]))
+        filters = [int(rng.integers(0, 5)) for _ in range(h)]
+        px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        got = M._decode_png(_png_bytes(px, filters=filters))
+        assert np.array_equal(got, px), (h, w, nch, filters)
