@@ -655,3 +655,44 @@ def test_pipeline_multi_prefix_cross_space_canonicalization(
     g = {tuple(r) for r in got[["subj", "pred", "obj"]].itertuples(index=False)}
     w = {tuple(r) for r in want[["subj", "pred", "obj"]].itertuples(index=False)}
     assert g == w, (len(g - w), len(w - g), sorted(g - w)[:5], sorted(w - g)[:5])
+
+
+def test_corrupt_manifest_recomputes_everything(
+    spark, tmp_path, onto, small_world
+):
+    """A torn/corrupt manifest.json (killed mid-os.replace, disk
+    glitch) must not crash a resumed run: the pipeline trusts nothing,
+    recomputes every stage, and produces the identical triple table
+    (plans/pipeline.py _load_manifest recovery branch)."""
+    workdir = str(tmp_path / "torn")
+    docs = spark.createDataFrame(small_world["documents"])
+    feats = spark.createDataFrame(small_world["features"])
+
+    def make():
+        return build_kg_pipeline(
+            spark, workdir, docs, feats, onto,
+            small_world["weights"], small_world["thresholds"],
+        )
+
+    r1 = make().run()
+    before = sorted(
+        map(tuple, spark.read.parquet(
+            os.path.join(workdir, "triples", "data")
+        ).select("subj", "pred", "obj").collect())
+    )
+    with open(os.path.join(workdir, "manifest.json"), "w") as f:
+        f.write('{"stages": {"ontology": {"status"')  # torn write
+    r2 = make().run()
+    assert not any(s.skipped for s in r2), [s.name for s in r2 if s.skipped]
+    after = sorted(
+        map(tuple, spark.read.parquet(
+            os.path.join(workdir, "triples", "data")
+        ).select("subj", "pred", "obj").collect())
+    )
+    assert before == after
+    # and the re-written manifest is whole again
+    with open(os.path.join(workdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert all(
+        s["status"] == "complete" for s in manifest["stages"].values()
+    )
