@@ -379,6 +379,20 @@ def run_multi3(
         if n.startswith("ZZ:") and c.startswith("CL:")
     )
     assert cross_merges, "no cross-space xref merge formed"
+    # consistency gate: the independently-rebuilt map must be
+    # node-for-node identical to the engine's (a divergence means the
+    # canonical RULE drifted — fail the flagship loudly, don't let the
+    # P/R gate silently compare two different rules)
+    from cello_spark.plans.kg import prepare_ontology
+
+    em = prepare_ontology(onto, term_prefix=prefixes)["canonical_map"]
+    em = dict(zip(em.node, em.canonical))
+    diffs = {
+        k
+        for k in set(em) | set(gate_map)
+        if em.get(k, k) != gate_map.get(k, k)
+    }
+    assert not diffs, sorted(diffs)[:10]
 
     own_spark = spark is None
     if own_spark:
