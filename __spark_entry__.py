@@ -5,13 +5,15 @@ SURVEY.md §2 (plus the training-data operators: dedup, text analysis,
 similarity search); `oracle_sql()` gives the DuckDB-equivalent SQL the
 driver runs side-by-side at sf=0.01. Column names and float rounding
 are aligned in BOTH so the order-insensitive value-hash comparison is
-well-defined. Approximate operators (IVF top-k, bucketed embedding
-near-dup, the fixture KG pipeline) emit oracle-checkable INVARIANT
-rows: exact-side counts the DuckDB oracle recomputes from the same
-parquet plus recall/P-R bound flags. Only genuinely engine-specific
-paths stay rows-only (xxhash64 LSH twins, iterative kmeans, binary
-media decode) — their semantics are pytest-verified against python
-oracles instead (tests/test_dedup.py, tests/test_similarity.py).
+well-defined. Approximate/fixture operators (IVF top-k, bucketed
+embedding near-dup, the fixture KG pipeline, the media-decode
+plumbing) emit oracle-checkable INVARIANT rows: exact-side counts the
+DuckDB oracle recomputes from the same parquet, recall/P-R bound
+flags, or pinned deterministic fixture scalars. Only genuinely
+engine-specific paths stay rows-only (the xxhash64 LSH twins,
+iterative kmeans) — their semantics are pytest-verified against
+python oracles instead (tests/test_dedup.py, tests/test_similarity.py,
+tests/test_clustering.py).
 """
 
 from __future__ import annotations
@@ -1190,10 +1192,15 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only): media spans → typed binary
-    table → deterministic fake decode → per-item shape/intensity row.
-    Runs on the fixture world (the sf documents table carries no
-    spans column)."""
+    """Multimodal plumbing, emitted as its INVARIANT row: media spans
+    → typed binary table → deterministic fake decode (hash-seeded
+    shapes/pixels) → one aggregate row over the decoded table. The
+    fixture world is fully deterministic (payloads are functions of
+    media_ref; shapes/means are order-independent sums / a
+    rounded avg verified stable across partitionings), so the DuckDB
+    oracle pins the expected scalars as literals — the decode math
+    itself can't run in SQL, but the hash now certifies the whole
+    mapInPandas plumbing instead of recording only a row count."""
     from cello_spark.operators.multimodal import (
         attach_media,
         decode_media,
@@ -1204,8 +1211,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto = make_ontology()
     docs, _, _ = make_documents(onto, n_docs=100)
     media = attach_media(spark.createDataFrame(docs))
-    return decode_media(media, decoder=fake_decoder).orderBy(
-        "doc_id", "media_ref"
+    decoded = decode_media(media, decoder=fake_decoder)
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("kind").alias("n_kinds"),
+        F.sum("width").alias("total_width"),
+        F.sum("height").alias("total_height"),
+        F.sum("channels").alias("total_channels"),
+        F.round(F.avg("mean_intensity"), 6).alias("avg_mean_intensity"),
     )
 
 
@@ -4099,6 +4112,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_exact,
                    CAST(1 AS INTEGER) AS recall_ok
             FROM exact
+        """,
+        "q_media_decode": """
+            -- fixture-world media-decode invariant: payloads and the
+            -- fake decode are deterministic functions of media_ref, so
+            -- the aggregate scalars are pinned literals (binary decode
+            -- itself is not SQL-expressible); sums are integer
+            -- (order-independent), the avg is rounded to 6 and
+            -- verified partitioning-stable
+            SELECT CAST(169 AS BIGINT) AS n_items,
+                   CAST(1 AS BIGINT) AS n_kinds,
+                   CAST(3942 AS BIGINT) AS total_width,
+                   CAST(4083 AS BIGINT) AS total_height,
+                   CAST(507 AS BIGINT) AS total_channels,
+                   CAST(127.545963 AS DOUBLE) AS avg_mean_intensity
         """,
         "q_kg_triples": """
             -- fixture-world pipeline P/R invariant: the fixture corpus
