@@ -46,11 +46,17 @@ def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return False
+    root = fs.getFileStatus(jpath).getPath().toString().rstrip("/")
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         f = it.next()
-        name = f.getPath().getName()
-        if not name.startswith(("_", ".")) and f.getLen() > 0:
+        rel = f.getPath().toString()[len(root) :].lstrip("/")
+        # every path segment below the root must be a data name —
+        # a file nested under e.g. _spark_metadata/ is a commit log,
+        # not data
+        if f.getLen() > 0 and not any(
+            seg.startswith(("_", ".")) for seg in rel.split("/")
+        ):
             return True
     return False
 

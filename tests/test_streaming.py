@@ -395,3 +395,19 @@ def test_dir_has_data_files_semantics(spark, tmp_path):
     with open(os.path.join(sub, "part-0.parquet"), "w") as f:
         f.write("x")
     assert _dir_has_data_files(spark, d)  # real data, recursive
+
+
+def test_dir_has_data_files_ignores_metadata_subdirs(spark, tmp_path):
+    """Files nested under hidden/metadata directories (_spark_metadata
+    commit logs) are not data even though their own names look plain."""
+    from cello_spark.streaming.ingest import _dir_has_data_files
+
+    d = str(tmp_path / "probe2")
+    meta = os.path.join(d, "_spark_metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "0"), "w") as f:
+        f.write('{"commit": true}')
+    assert not _dir_has_data_files(spark, d)
+    with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        f.write("x")
+    assert _dir_has_data_files(spark, d)
