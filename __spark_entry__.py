@@ -1029,7 +1029,13 @@ def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     is centroid-dependent, hence a bound, not an equality). Raw-pair
     inspection stays available via the exact small-SF twin
     q_embedding_near_dup_exact; tests/test_similarity.py gates the
-    operator's recall too."""
+    operator's recall too.
+
+    NOTE: this is a small-SF VERIFICATION artifact — its wall time is
+    dominated by the exact all-pairs side it grades against, so it
+    says nothing about the bucketed operator's own cost (which the
+    bench and the operator's plan-shape docs cover); do not read its
+    timing as the scale path's."""
     from cello_spark.operators.similarity import (
         cosine_similarity_col,
         embedding_near_dup_pairs,

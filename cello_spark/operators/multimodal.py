@@ -301,6 +301,11 @@ def _decode_wav(content: bytes) -> np.ndarray:
             f"({ex}); install ffmpeg/soundfile and pass a decoder "
             f"wrapping it for compressed audio"
         ) from ex
+    except EOFError as ex:
+        # chunk.py raises a bare EOFError on payloads cut mid-chunk —
+        # surface it as the module's corrupt-input contract, not an
+        # opaque empty-message executor failure
+        raise ValueError("WAV payload truncated mid-chunk") from ex
     dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
     if dtype is None:
         raise NotImplementedError(

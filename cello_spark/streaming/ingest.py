@@ -36,11 +36,18 @@ DOCUMENT_SCHEMA = (
 
 
 def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
-    """True when `path` exists and holds at least one non-empty data
-    file (hidden files and commit markers — `_SUCCESS`, `.crc`,
-    `_spark_metadata` — don't count). Uses the Hadoop FileSystem API so
-    the same check works on local, HDFS, or object-store paths; the
-    driver-side listing is bounded by returning at the FIRST data file."""
+    """True when `path` holds data a batch `spark.read.parquet(path)`
+    could infer a schema FROM — the probe must agree with that reader,
+    because a True here routes setup into it. That means: a non-empty,
+    non-hidden file at the top level, or one reached exclusively
+    through Hive-partition segments (`key=value/` — the only subdirs
+    batch parquet reads traverse). Files under plain subdirs or
+    metadata dirs (`_spark_metadata/0`, `batch-0/part.parquet`) do NOT
+    count: the old exception-driven fallback treated those dirs as
+    schema-less too, and counting them would turn the graceful
+    DOCUMENT_SCHEMA bootstrap into a setup crash. Hadoop FileSystem
+    API, so the same check works on local/HDFS/object-store paths;
+    bounded by returning at the FIRST qualifying file."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -50,13 +57,16 @@ def _dir_has_data_files(spark: SparkSession, path: str) -> bool:
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         f = it.next()
+        if f.getLen() == 0:
+            continue
         rel = f.getPath().toString()[len(root) :].lstrip("/")
-        # every path segment below the root must be a data name —
-        # a file nested under e.g. _spark_metadata/ is a commit log,
-        # not data
-        if f.getLen() > 0 and not any(
-            seg.startswith(("_", ".")) for seg in rel.split("/")
-        ):
+        segs = rel.split("/")
+        name_ok = not segs[-1].startswith(("_", "."))
+        dirs_ok = all(
+            "=" in seg and not seg.startswith(("_", "."))
+            for seg in segs[:-1]
+        )
+        if name_ok and dirs_ok:
             return True
     return False
 

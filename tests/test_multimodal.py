@@ -611,3 +611,17 @@ def test_decode_png_randomized_filter_sweep():
         px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
         got = M._decode_png(_png_bytes(px, filters=filters))
         assert np.array_equal(got, px), (h, w, nch, filters)
+
+
+def test_real_decoder_wav_truncated_raises_value_error():
+    """A RIFF/WAVE payload cut mid-chunk must surface as the module's
+    corrupt-input contract (ValueError), not an opaque empty-message
+    EOFError escaping the mapInPandas task."""
+    import numpy as np
+    import pytest as _pytest
+
+    s16 = np.zeros((50, 2), dtype="<i2")
+    whole = _wav_bytes(s16, 2)
+    for cut in (20, 30):
+        with _pytest.raises(ValueError):
+            M.real_decoder(whole[:cut], "audio")

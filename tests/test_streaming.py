@@ -375,10 +375,12 @@ def test_ingest_starts_on_empty_directory(spark, world, tmp_path):
 
 
 def test_dir_has_data_files_semantics(spark, tmp_path):
-    """The empty-ingest-dir probe (schema-fallback gate) must treat
-    missing dirs, empty dirs, and marker-only dirs (_SUCCESS, .crc,
-    zero-byte files) as 'no data', and any non-empty data file —
-    including in a subdirectory — as data."""
+    """The empty-ingest-dir probe (schema-fallback gate) must agree
+    with what a batch spark.read.parquet can infer a schema FROM:
+    missing/empty/marker-only dirs (_SUCCESS, .crc, zero-byte files)
+    and files under PLAIN subdirs (which batch parquet reads don't
+    traverse) read as 'no data'; a top-level data file or one under a
+    Hive-partition (key=value) chain reads as data."""
     from cello_spark.streaming.ingest import _dir_has_data_files
 
     d = str(tmp_path / "probe")
@@ -390,11 +392,26 @@ def test_dir_has_data_files_semantics(spark, tmp_path):
     with open(os.path.join(d, "empty-part.parquet"), "w"):
         pass  # zero bytes
     assert not _dir_has_data_files(spark, d)  # markers only
+    # a plain (non-partition) subdir is invisible to the batch reader
+    # — counting it would route setup into a read that cannot infer
     sub = os.path.join(d, "batch-0")
     os.makedirs(sub)
     with open(os.path.join(sub, "part-0.parquet"), "w") as f:
         f.write("x")
-    assert _dir_has_data_files(spark, d)  # real data, recursive
+    assert not _dir_has_data_files(spark, d)
+    # ...a Hive-partition chain IS traversed by the batch reader
+    part = os.path.join(d, "lang=en")
+    os.makedirs(part)
+    with open(os.path.join(part, "part-1.parquet"), "w") as f:
+        f.write("x")
+    assert _dir_has_data_files(spark, d)
+    # ...as is a top-level data file
+    os.remove(os.path.join(part, "part-1.parquet"))
+    os.rmdir(part)
+    assert not _dir_has_data_files(spark, d)
+    with open(os.path.join(d, "part-2.parquet"), "w") as f:
+        f.write("x")
+    assert _dir_has_data_files(spark, d)
 
 
 def test_dir_has_data_files_ignores_metadata_subdirs(spark, tmp_path):

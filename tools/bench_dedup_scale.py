@@ -68,7 +68,7 @@ def _drain_storage(spark, timeout_sec: float = 30.0) -> int:
 
 
 def generate_corpus(
-    spark, base_pdf, n_docs: int, seed: int = 42, dup_frac: float = 0.06
+    base_pdf, n_docs: int, seed: int = 42, dup_frac: float = 0.06
 ):
     """Deterministic corpus with sf0.1's vocabulary distribution and
     doc-length profile. `dup_frac` of the docs are near-duplicate
@@ -193,7 +193,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="dedup_scale_")
     big_path = os.path.join(tmp, "documents_10x.parquet")
     t0 = time.monotonic()
-    big_pdf = generate_corpus(spark, base_pdf, n10)
+    big_pdf = generate_corpus(base_pdf, n10)
     spark.createDataFrame(big_pdf).repartition(32).write.parquet(big_path)
     gen_sec = time.monotonic() - t0
 
