@@ -4,10 +4,10 @@ Media travel as opaque `binary` columns with typed metadata structs;
 all per-item compute is Arrow-batched (`mapInPandas`), partitioned by
 doc so media for one document co-locate. The decode kernel is
 pluggable via `decoder=`: `real_decoder` uses PIL when installed and
-otherwise a dependency-free builtin image decode (PNG 8/16-bit
-gray/RGB/RGBA + 8-bit palette + binary PPM/PGM, stdlib zlib only),
-plus a stdlib-`wave` PCM WAV audio decode, so real image and audio bytes
-decode even in codec-less containers; video and compressed audio
+otherwise a dependency-free builtin image decode (every legal PNG
+depth/color/interlace combination + binary PPM/PGM, stdlib zlib
+only), plus a stdlib-`wave` PCM WAV audio decode, so real image and
+audio bytes decode even in codec-less containers; video and compressed audio
 still require ffmpeg/torchaudio and raise with guidance.
 `fake_decoder` (deterministic, hash-seeded) remains for hermetic
 plumbing tests.
@@ -137,17 +137,46 @@ def _png_unfilter(
     return out, height * (stride + 1)
 
 
+def _png_pass_pixels(
+    raw: bytes, offset: int, ph: int, pw: int, nch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Decode one (sub-)image block of `ph` rows × `pw` pixels at the
+    given depth into a uint8 pixel array (ph, pw, nch), returning
+    (pixels, bytes consumed). Scanline byte width is ceil(pw·nch·
+    depth/8) — sub-8-bit rows pack pixels MSB-first and pad the last
+    byte; 16-bit rows carry big-endian pairs reduced to their high
+    byte (the decoder's uint8 output contract). Sub-8-bit values are
+    raw code points here — grayscale expansion / palette lookup
+    happens on the assembled image."""
+    stride = -(-(pw * nch * depth) // 8)
+    bpp = max(1, nch * depth // 8)
+    rows, used = _png_unfilter(raw, offset, ph, stride, bpp)
+    if depth == 16:
+        px = rows.reshape(ph, pw, nch, 2)[:, :, :, 0].copy()
+    elif depth == 8:
+        px = rows.reshape(ph, pw, nch)
+    else:  # 1/2/4-bit: nch == 1 by spec (gray or palette indices)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = (
+            (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+            .astype(np.uint8)[:, :, None]
+        )
+    return px, used
+
+
 def _decode_png(content: bytes) -> np.ndarray:
-    """Minimal PNG decode with only stdlib zlib: 8- and 16-bit
-    grayscale / RGB / RGBA, 8-bit palette (PLTE, with optional tRNS
-    alpha), plain or Adam7-interlaced, all five scanline filters.
-    Covers the PNGs a data pipeline's thumbnails/figures actually
-    are; only sub-8-bit files raise for the PIL path or an explicit
-    error. Palette images expand to RGB (RGBA when a tRNS chunk is
+    """PNG decode with only stdlib zlib, covering EVERY legal
+    depth/color combination: 1/2/4/8/16-bit grayscale, 8/16-bit
+    RGB / gray+alpha / RGBA, 1/2/4/8-bit palette (PLTE, with optional
+    tRNS alpha), plain or Adam7-interlaced, all five scanline
+    filters. Palette images expand to RGB (RGBA when a tRNS chunk is
     present) — the same expansion PIL's convert() applies, so the two
     paths agree. 16-bit samples are reduced to their HIGH byte
-    (val >> 8): the decoder's output contract is uint8 pixels
-    everywhere, matching the normalization the PIL branch applies."""
+    (val >> 8) and sub-8-bit grayscale expands to the full 0-255
+    range (val · 255/(2^depth−1), exact integers): the decoder's
+    output contract is uint8 pixels everywhere, matching the
+    normalization the PIL branch applies."""
     import struct
     import zlib
 
@@ -164,19 +193,25 @@ def _decode_png(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            ok = (depth == 8 and color in (0, 2, 3, 6)) or (
-                depth == 16 and color in (0, 2, 6)
-            )
-            if not ok or interlace not in (0, 1):
-                raise NotImplementedError(
-                    f"builtin PNG decode supports 8/16-bit gray/RGB/"
-                    f"RGBA + 8-bit palette (plain or Adam7); got "
-                    f"depth={depth} color={color} interlace={interlace} "
-                    f"(install PIL for sub-8-bit)"
+            legal = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
+            if (
+                color not in legal
+                or depth not in legal[color]
+                or interlace not in (0, 1)
+            ):
+                raise ValueError(
+                    f"illegal PNG depth/color/interlace combination: "
+                    f"depth={depth} color={color} interlace={interlace}"
                 )
-            # palette scanlines carry 1 index byte per pixel; the
-            # palette lookup after unfiltering expands to RGB(A)
-            nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+            # palette scanlines carry index codes; the palette lookup
+            # after assembly expands to RGB(A)
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
         elif ctype == b"PLTE":
             if ln % 3 != 0:
                 raise ValueError(f"PLTE length {ln} not divisible by 3")
@@ -193,35 +228,29 @@ def _decode_png(content: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(idat)
-    # PNG filters operate on BYTES with a left-offset of the pixel's
-    # byte width — nch bytes at depth 8, 2*nch at depth 16
-    bpp = nch * (depth // 8)
     if interlace == 0:
-        planes, used = _png_unfilter(raw, 0, height, width * bpp, bpp)
-        out = planes
+        pixels, _ = _png_pass_pixels(raw, 0, height, width, nch, depth)
     else:
-        # Adam7: seven independently-filtered sub-images, scattered
-        # back onto the full grid; empty passes contribute no bytes
-        out = np.empty((height, width * bpp), dtype=np.uint8)
+        # Adam7: seven independently-filtered sub-images decoded to
+        # PIXELS (each pass has its own packed scanline width), then
+        # scattered onto the full grid; empty passes contribute no
+        # bytes
+        pixels = np.empty((height, width, nch), dtype=np.uint8)
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, -(-(width - x0) // dx))
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue
-            sub, used = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+            sub, used = _png_pass_pixels(raw, offset, ph, pw, nch, depth)
             offset += used
-            sub = sub.reshape(ph, pw, bpp)
             ys = np.arange(y0, height, dy)
             xs = np.arange(x0, width, dx)
-            grid = out.reshape(height, width, bpp)
-            grid[np.ix_(ys, xs)] = sub
-        out = out.reshape(height, width * bpp)
-    if depth == 16:
-        # big-endian sample pairs → high byte (uint8 output contract)
-        pixels = out.reshape(height, width, nch, 2)[:, :, :, 0].copy()
-    else:
-        pixels = out.reshape(height, width, nch)
+            pixels[np.ix_(ys, xs)] = sub
+    if color == 0 and depth < 8:
+        # sub-8-bit grayscale expands to full range (exact integer
+        # factors: ×255 / ×85 / ×17 for 1/2/4-bit)
+        pixels = pixels * np.uint8(255 // ((1 << depth) - 1))
     if color != 3:
         return pixels
     # palette expansion: indices → RGB rows of PLTE; tRNS (when
@@ -331,8 +360,8 @@ except Exception:  # noqa: BLE001 — probe semantics: "is PIL usable?"
 
 def real_decoder(content: bytes, kind: str) -> np.ndarray:
     """Production decode hook. Images: PIL when installed (full format
-    coverage), else the dependency-free builtin decoders (PNG 8/16-bit
-    gray/RGB/RGBA + 8-bit palette, binary PPM/PGM). Audio: builtin PCM WAV via
+    coverage), else the dependency-free builtin decoders (every legal
+    PNG depth/color/interlace combination, binary PPM/PGM). Audio: builtin PCM WAV via
     stdlib `wave` (shape (1, n_frames, n_channels), raw sample
     values). Only video and compressed audio genuinely need external
     codecs (ffmpeg/torchaudio) — those raise with guidance."""

@@ -485,7 +485,7 @@ def test_decode_png_16bit_high_byte_reduction():
         assert got.shape == (6, 5, nch)
         assert got.dtype == np.uint8
         assert np.array_equal(got, (px >> 8).astype(np.uint8)), f"nch={nch}"
-    # sub-8-bit still raises explicitly
+    # an ILLEGAL depth/color combination (4-bit RGB) raises ValueError
     import struct
     import zlib
     import pytest as _pytest
@@ -498,11 +498,11 @@ def test_decode_png_16bit_high_byte_reduction():
 
     bad = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00\x11\x00\x22"))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         M._decode_png(bad)
 
 
@@ -625,3 +625,121 @@ def test_real_decoder_wav_truncated_raises_value_error():
     for cut in (20, 30):
         with _pytest.raises(ValueError):
             M.real_decoder(whole[:cut], "audio")
+
+
+def _subbit_png_bytes(values, depth, color, palette=None, interlace=0):
+    """Sub-8-bit PNG encoder (stdlib only): MSB-first bit packing per
+    scanline with zero padding in the last byte, filter 0 rows (plain)
+    or per Adam7 pass (interlace=1). `values` are raw code points
+    (gray levels or palette indices)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint8)
+    h, w = v.shape
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    def pack_block(block):
+        bh, bw = block.shape
+        raw = b""
+        for y in range(bh):
+            bits = (
+                (block[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(-1).astype(np.uint8)
+            raw += b"\x00" + np.packbits(bits).tobytes()
+        return raw
+
+    if interlace == 0:
+        raw = pack_block(v)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = v[y0::dy, x0::dx]
+            if sub.size:
+                raw += pack_block(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_sub8bit_and_gray_alpha():
+    """The remaining legal PNG combos: 1/2/4-bit grayscale (expanded
+    to full 0-255 range by exact integer factors), 1/2/4-bit palette,
+    8/16-bit gray+alpha — plain and Adam7."""
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    # sub-8-bit grayscale, plain + interlaced, incl. padded last byte
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        v = rng.integers(0, mx + 1, size=(5, 7), dtype=np.uint8)
+        want = (v * (255 // mx))[:, :, None]
+        got = M._decode_png(_subbit_png_bytes(v, depth, color=0))
+        assert np.array_equal(got, want), ("plain gray", depth)
+        got_i = M._decode_png(
+            _subbit_png_bytes(v, depth, color=0, interlace=1)
+        )
+        assert np.array_equal(got_i, want), ("adam7 gray", depth)
+    # sub-8-bit palette → RGB expansion, raw indices (no scaling)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        palette = rng.integers(0, 256, size=(mx + 1, 3), dtype=np.uint8)
+        idx = rng.integers(0, mx + 1, size=(6, 5), dtype=np.uint8)
+        got = M._decode_png(
+            _subbit_png_bytes(idx, depth, color=3, palette=palette)
+        )
+        assert np.array_equal(got, palette[idx]), ("plain plte", depth)
+        got_i = M._decode_png(
+            _subbit_png_bytes(
+                idx, depth, color=3, palette=palette, interlace=1
+            )
+        )
+        assert np.array_equal(got_i, palette[idx]), ("adam7 plte", depth)
+    # gray+alpha (color 4): 8-bit round-trip, 16-bit high-byte
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    got = M._decode_png(_ga_png_bytes(ga, 8))
+    assert np.array_equal(got, ga)
+    ga16 = rng.integers(0, 65536, size=(4, 6, 2)).astype(">u2")
+    got16 = M._decode_png(_ga_png_bytes(ga16, 16))
+    assert np.array_equal(got16, (ga16 >> 8).astype(np.uint8))
+
+
+def _ga_png_bytes(px, depth):
+    """Gray+alpha (color type 4) encoder, filter-0 rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px)
+    h, w, _ = arr.shape
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    if depth == 16:
+        body = np.ascontiguousarray(arr.astype(">u2"))
+    else:
+        body = np.ascontiguousarray(arr.astype(np.uint8))
+    raw = b"".join(
+        b"\x00" + body[y].tobytes() for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 4, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
