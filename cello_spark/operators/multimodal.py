@@ -307,14 +307,14 @@ def _decode_ppm(content: bytes) -> np.ndarray:
 
 def _decode_wav(content: bytes) -> np.ndarray:
     """PCM WAV decode with only stdlib `wave`: 8-bit unsigned,
-    16/32-bit signed little-endian, any channel count. Returns shape
-    (1, n_frames, n_channels) — the audio row fits the decoder
+    16/24/32-bit signed little-endian, any channel count. Returns
+    shape (1, n_frames, n_channels) — the audio row fits the decoder
     contract with height=1, width=sample count, channels=channel
     count — with the RAW stored sample values (uint8 for 8-bit,
-    int16/int32 for 16/32-bit; no recentering or normalization, so a
-    written file round-trips bit-for-bit). Compressed WAV (µ-law,
-    ADPCM) and 24-bit raise NotImplementedError — those genuinely
-    need ffmpeg/soundfile."""
+    int16/int32 otherwise; 24-bit sign-extends into int32; no
+    recentering or normalization, so a written file round-trips
+    bit-for-bit). Compressed WAV (µ-law, ADPCM) raises
+    NotImplementedError — that genuinely needs ffmpeg/soundfile."""
     import io
     import wave
 
@@ -335,13 +335,24 @@ def _decode_wav(content: bytes) -> np.ndarray:
         # surface it as the module's corrupt-input contract, not an
         # opaque empty-message executor failure
         raise ValueError("WAV payload truncated mid-chunk") from ex
+    frames = len(raw) // (sw * nch)
+    if sw == 3:
+        # 24-bit: pad each little-endian triple into the HIGH bytes of
+        # an int32, then arithmetic-shift back — sign-correct without
+        # a per-sample loop
+        b = np.frombuffer(
+            raw, np.uint8, count=frames * nch * 3
+        ).reshape(-1, 3)
+        padded = np.zeros((len(b), 4), np.uint8)
+        padded[:, 1:] = b
+        arr = padded.view("<i4").ravel() >> 8
+        return arr.reshape(1, frames, nch)
     dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
     if dtype is None:
         raise NotImplementedError(
-            f"builtin WAV decode supports 8/16/32-bit PCM, got "
-            f"{sw * 8}-bit (install soundfile for 24-bit)"
+            f"builtin WAV decode supports 8/16/24/32-bit PCM, got "
+            f"{sw * 8}-bit"
         )
-    frames = len(raw) // (sw * nch)
     arr = np.frombuffer(raw, dtype=dtype, count=frames * nch)
     return arr.reshape(1, frames, nch)
 

@@ -369,12 +369,29 @@ def test_real_decoder_wav_roundtrip():
     got = M.real_decoder(_wav_bytes(s32, 4), "audio")
     assert got.shape == (1, 20, 1)
     assert np.array_equal(got[0], s32)
-    # 24-bit and non-WAV audio stay explicitly unimplemented
+    # 24-bit stereo: little-endian triples sign-extend into int32
+    vals = np.array(
+        [[-(2**23), 2**23 - 1], [-1, 0], [123456, -654321]], dtype=np.int64
+    )
+    triples = bytearray()
+    for frame in vals:
+        for v in frame:
+            triples += int(v & 0xFFFFFF).to_bytes(3, "little")
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(3)
+        wv.setframerate(8000)
+        wv.writeframes(bytes(triples))
+    got = M.real_decoder(buf.getvalue(), "audio")
+    assert got.shape == (1, 3, 2)
+    assert np.array_equal(got[0], vals)
+    # non-WAV audio stays explicitly unimplemented
     import pytest as _pytest
 
-    s24 = rng.integers(0, 256, size=(10 * 3, 1)).astype(np.uint8)
-    with _pytest.raises(NotImplementedError):
-        M.real_decoder(_wav_bytes(s24, 3), "audio")
     with _pytest.raises(NotImplementedError):
         M.real_decoder(b"ID3\x04mp3-ish payload", "audio")
     with _pytest.raises(NotImplementedError):
