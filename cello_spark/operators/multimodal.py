@@ -114,14 +114,19 @@ def _png_unfilter(
             pass
         elif ft == 2:  # Up
             line += prev
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-scan
+        elif ft == 1:  # Sub: per-lane running sum mod 256, vectorized
+            lanes = line.reshape(-1, bpp).astype(np.int64)
+            line = (
+                (np.cumsum(lanes, axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ft in (3, 4):  # Average / Paeth need a left-scan
             rec = line.astype(np.int32)
             for x in range(stride):
                 a = rec[x - bpp] if x >= bpp else 0
                 b = int(prev[x])
-                if ft == 1:
-                    rec[x] = (rec[x] + a) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     rec[x] = (rec[x] + (a + b) // 2) & 0xFF
                 else:
                     c = int(prev[x - bpp]) if x >= bpp else 0
