@@ -60,17 +60,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-analog: multi-aggregate groupBy (TPC-H Q1 shape)."""
+    """A1-analog: multi-aggregate groupBy (TPC-H Q1 shape). The big
+    money SUMS round to 2 decimals (matching the oracle): group sums
+    reach ~1e9, where float64 summation-order noise is ~1e-6 — the
+    same magnitude as a 6-decimal rounding quantum, so round-6 values
+    sat on rounding boundaries and hashed unstably across engines at
+    sf0.1. The 0.01 quantum leaves ~4 orders of magnitude of margin;
+    the small-magnitude AVGs keep 6 decimals."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "sum_disc_price"
-            ),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
             _r6(F.avg("l_quantity")).alias("avg_qty"),
             _r6(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -2328,9 +2334,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6)                                AS sum_qty,
-                   round(sum(l_extendedprice), 6)                           AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6)        AS sum_disc_price,
+                   round(sum(l_quantity), 2)                                AS sum_qty,
+                   round(sum(l_extendedprice), 2)                           AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
                    round(avg(l_quantity), 6)                                AS avg_qty,
                    round(avg(l_discount), 6)                                AS avg_disc,
                    count(*)                                                 AS count_order
