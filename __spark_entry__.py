@@ -117,7 +117,10 @@ def q_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r6(F.sum("o_totalprice")).alias("total_price"),
+            # money sum over ~1/5 of all orders reaches ~1e10: round at
+            # 2 decimals, like q_agg_pricing, so summation-order noise
+            # (~1e-6) stays far from the rounding quantum
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy("r_name")
     )
@@ -2357,7 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_region_nation": """
             SELECT r_name, count(*) AS n_orders,
-                   round(sum(o_totalprice), 6) AS total_price
+                   round(sum(o_totalprice), 2) AS total_price
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
