@@ -2054,9 +2054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_cross_dedup": q_cross_dedup,
         "q_media_triples": q_media_triples,
-        "q_caption_pairs": q_caption_pairs,
+        "q_agg_pricing": q_agg_pricing,
         # --- beyond the driver window (green in the r4 driver run
         # under the current engine, or unchanged since) ---
+        "q_caption_pairs": q_caption_pairs,
         "q_onn_confidence": q_onn_confidence,
         "q_group_rank": q_group_rank,
         "q_group_rank_dehub": q_group_rank_dehub,
@@ -2088,7 +2089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_closure": q_closure,
         "q_most_specific": q_most_specific,
         "q_simhash_pairs": q_simhash_pairs,
-        "q_agg_pricing": q_agg_pricing,
         "q_pii_scrub": q_pii_scrub,
         "q_lang_detect": q_lang_detect,
         "q_minhash_pairs_fast": q_minhash_pairs_fast,
