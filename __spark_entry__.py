@@ -65,18 +65,28 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach ~1e9, where float64 summation-order noise is ~1e-6 — the
     same magnitude as a 6-decimal rounding quantum, so round-6 values
     sat on rounding boundaries and hashed unstably across engines at
-    sf0.1. The 0.01 quantum leaves ~4 orders of magnitude of margin;
-    the small-magnitude AVGs keep 6 decimals."""
+    sf0.1. sum_qty (integer quantities) and sum_base_price (2-decimal
+    terms) can never land ON a 2-decimal boundary, so round-2 is
+    hazard-free for them; sum_disc_price's terms carry FOUR decimals
+    (price × discount), whose exact sum CAN end in a half-cent — it is
+    therefore summed in exact integer 1e-4-dollar units (BIGINT, no
+    float in the aggregate) and converted once at the end, the same
+    single IEEE division + rounding both engines apply to identical
+    integers."""
     li = _t(spark, sf_dir, "lineitem")
+    disc_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            F.round(disc_e4.cast("double") / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
             _r6(F.avg("l_quantity")).alias("avg_qty"),
             _r6(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -2339,7 +2349,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                AS sum_qty,
                    round(sum(l_extendedprice), 2)                           AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                              AS DOUBLE) / 10000.0, 2)                      AS sum_disc_price,
                    round(avg(l_quantity), 6)                                AS avg_qty,
                    round(avg(l_discount), 6)                                AS avg_disc,
                    count(*)                                                 AS count_order

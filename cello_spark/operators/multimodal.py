@@ -401,8 +401,17 @@ def real_decoder(content: bytes, kind: str) -> np.ndarray:
         img = _PIL_IMAGE.open(io.BytesIO(content))
         # normalize mode BEFORE asarray: palette images would yield
         # palette INDICES, 16-bit images int32 values 0-65535 — both
-        # silently wrong for downstream uint8 feature math
-        if img.mode not in ("L", "RGB", "RGBA"):
+        # silently wrong for downstream uint8 feature math. Mode
+        # mapping mirrors the builtin decoder's shape contract so the
+        # PIL-present and PIL-absent environments produce identical
+        # (channels, dtype): 1-bit → 1-channel gray (0/255), LA →
+        # 2-channel gray+alpha, 16-bit ints → high-byte gray
+        if img.mode == "1":
+            img = img.convert("L")
+        elif img.mode in ("I;16", "I;16L", "I;16B", "I"):
+            arr16 = np.asarray(img.convert("I"), dtype=np.int64)
+            return (arr16 >> 8).astype(np.uint8)[:, :, None]
+        elif img.mode not in ("L", "LA", "RGB", "RGBA"):
             has_alpha = "A" in img.mode or "transparency" in img.info
             img = img.convert("RGBA" if has_alpha else "RGB")
         arr = np.asarray(img)

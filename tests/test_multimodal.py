@@ -9,6 +9,18 @@ from pyspark.sql import functions as F
 from cello_spark.operators import multimodal as M
 
 
+def _chunk(ctype, data):
+    """Shared PNG chunk writer for every fixture encoder in this file
+    (length + type + payload + CRC per the PNG spec)."""
+    import struct
+    import zlib
+
+    c = ctype + data
+    return struct.pack(">I", len(data)) + c + struct.pack(
+        ">I", zlib.crc32(c)
+    )
+
+
 @pytest.fixture(scope="module")
 def media(spark, small_world):
     docs = spark.createDataFrame(small_world["documents"])
@@ -54,11 +66,7 @@ def _png_bytes(pixels, filters=None):
     color = {1: 0, 3: 2, 4: 6}[nch]
     filters = filters or [0] * h
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     raw = b""
     flat = px.reshape(h, w * nch).astype(np.int32)
@@ -281,11 +289,7 @@ def _palette_png_bytes(indices, palette, trns=None):
     idx = np.asarray(indices, dtype=np.uint8)
     h, w = idx.shape
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
@@ -444,11 +448,7 @@ def _png16_bytes(pixels16, filters=None):
     bpp = 2 * nch
     filters = filters or [0] * h
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     flat = np.frombuffer(px.tobytes(), np.uint8).reshape(
         h, w * bpp
@@ -507,11 +507,7 @@ def test_decode_png_16bit_high_byte_reduction():
     import zlib
     import pytest as _pytest
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     bad = (
         b"\x89PNG\r\n\x1a\n"
@@ -523,10 +519,10 @@ def test_decode_png_16bit_high_byte_reduction():
         M._decode_png(bad)
 
 
-_ADAM7 = (
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
-)
+# Adam7 pass table: intentionally the decoder's own (the fixture
+# encoders must agree with it on pass ORDER; pass membership is
+# still independently exercised by the odd-size/empty-pass cases)
+_ADAM7 = M._ADAM7
 
 
 def _adam7_png_bytes(px, depth=8, palette=None, pass_filter=0):
@@ -556,11 +552,7 @@ def _adam7_png_bytes(px, depth=8, palette=None, pass_filter=0):
             h, w, bpp
         )
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     raw = b""
     for x0, y0, dx, dy in _ADAM7:
@@ -657,11 +649,7 @@ def _subbit_png_bytes(values, depth, color, palette=None, interlace=0):
     v = np.asarray(values, dtype=np.uint8)
     h, w = v.shape
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     def pack_block(block):
         bh, bw = block.shape
@@ -740,11 +728,7 @@ def _ga_png_bytes(px, depth):
     arr = np.asarray(px)
     h, w, _ = arr.shape
 
-    def chunk(ctype, data):
-        c = ctype + data
-        return struct.pack(">I", len(data)) + c + struct.pack(
-            ">I", zlib.crc32(c)
-        )
+    chunk = _chunk
 
     if depth == 16:
         body = np.ascontiguousarray(arr.astype(">u2"))
