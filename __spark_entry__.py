@@ -9,11 +9,11 @@ well-defined. Approximate/fixture operators (IVF top-k, bucketed
 embedding near-dup, the fixture KG pipeline, the media-decode
 plumbing) emit oracle-checkable INVARIANT rows: exact-side counts the
 DuckDB oracle recomputes from the same parquet, recall/P-R bound
-flags, or pinned deterministic fixture scalars. Only genuinely
-engine-specific paths stay rows-only (the xxhash64 LSH twins,
-iterative kmeans) — their semantics are pytest-verified against
-python oracles instead (tests/test_dedup.py, tests/test_similarity.py,
-tests/test_clustering.py).
+flags, or pinned deterministic fixture scalars. Only the two
+xxhash64 LSH twins stay rows-only — and each is the engine-hash
+variant of an md5 twin that IS hash-checked (q_minhash_pairs,
+q_simhash_pairs), with the raw outputs pytest-verified against
+python oracles (tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -973,25 +973,72 @@ def q_mention_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M12 clustering analog (rows-only; Lloyd iterations are not
-    single-statement SQL — semantics pytest-verified against a numpy
-    oracle in tests/test_clustering.py): deterministic seeded-k-means++
-    KMeans over the embeddings table, summarized per cluster."""
-    from cello_spark.operators.clustering import kmeans_assign, kmeans_fit
+    """M12 clustering analog, emitted as its INVARIANT row so the
+    DuckDB oracle can check it: (n_points, k, sizes_ok,
+    inertia_decreased). n_points is SQL-recomputed from the same
+    parquet; sizes_ok asserts the assignment emits exactly one row
+    per input point; inertia_decreased asserts Lloyd DESCENT — final
+    centroids' within-cluster squared distance ≤ the seeded-k-means++
+    init's (the algorithm's defining property, robust to the
+    float-summation partitioning noise that makes the raw per-cluster
+    sizes engine-specific — that part stays pytest-verified against
+    the numpy oracle in tests/test_clustering.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from cello_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeanspp_init,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     feats = emb.select(
         F.col("vec_id").alias("item"), F.col("embedding").alias("features")
     )
+    # re-derive the SAME deterministic init kmeans_fit uses (sorted
+    # sample → seeded k-means++)
+    init_rows = feats.orderBy("item").limit(4096).collect()
+    S = np.stack(
+        [np.asarray(r["features"], dtype=np.float64) for r in init_rows]
+    )
+    C0 = kmeanspp_init(S, 8, 42)
     C = kmeans_fit(feats, k=8, n_iter=10)
-    return (
-        kmeans_assign(feats, C)
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.min("item").alias("min_item"),
-        )
-        .orderBy("cluster")
+
+    def inertia(Cm: np.ndarray) -> float:
+        bc = spark.sparkContext.broadcast(np.asarray(Cm, dtype=np.float64))
+
+        def run(batches):
+            C_ = bc.value
+            tot, seen = 0.0, False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                X = np.stack(
+                    [np.asarray(v, np.float64) for v in pdf["features"]]
+                )
+                d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(-1).min(1)
+                tot += float(d2.sum())
+            if seen:
+                yield pd.DataFrame({"partial": [tot]})
+
+        part = feats.select("features").mapInPandas(run, "partial double")
+        return float(part.agg(F.sum("partial")).first()[0] or 0.0)
+
+    n_points = feats.count()
+    n_assigned = kmeans_assign(feats, C).count()
+    decreased = inertia(C) <= inertia(C0) + 1e-9
+    return spark.createDataFrame(
+        [
+            (
+                n_points,
+                8,
+                int(n_assigned == n_points),
+                int(decreased),
+            )
+        ],
+        "n_points long, k int, sizes_ok int, inertia_decreased int",
     )
 
 
@@ -4139,6 +4186,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_exact,
                    CAST(1 AS INTEGER) AS recall_ok
             FROM exact
+        """,
+        "q_kmeans_clusters": """
+            -- KMeans invariant: n_points is recomputed from the same
+            -- parquet; k is the call parameter; the flags assert the
+            -- one-row-per-point assignment and Lloyd descent (final
+            -- inertia <= seeded-init inertia), which hold for ANY
+            -- correct KMeans regardless of float summation order
+            SELECT count(*) AS n_points,
+                   CAST(8 AS INTEGER) AS k,
+                   CAST(1 AS INTEGER) AS sizes_ok,
+                   CAST(1 AS INTEGER) AS inertia_decreased
+            FROM embeddings
         """,
         "q_media_decode": """
             -- fixture-world media-decode invariant: payloads and the
